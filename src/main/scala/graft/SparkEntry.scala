@@ -1,13 +1,668 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.FieldOps
+import graft.frontier.{Canonical, Politeness, Scheduler}
+import graft.ops.{ExportImportOp, FilterOp, ListOp, VerifyOp}
+import graft.pipeline.{Ann, Dedup, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent oracle in [[oracleSql]].
+  *
+  * WARC/frontier-shaped inputs are DERIVED deterministically inside each
+  * query from the driver parquet tables (orders/documents/embeddings) so
+  * the DuckDB oracle can reproduce the construction and check the operator
+  * end-to-end. Numeric outputs are integers (counts / cents / milli-floors)
+  * — bit-exact across engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- derived WARC records from orders (mirrored in the oracle CTEs) ----
+
+  private def warcType: Column =
+    when(col("o_orderstatus") === "O", "response")
+      .when(col("o_orderstatus") === "F", "resource")
+      .otherwise("metadata")
+
+  private def contentType: Column =
+    when(col("o_orderstatus") === "O", "application/http; msgtype=response")
+      .when(col("o_orderstatus") === "F", "image/png")
+      .otherwise("text/plain")
+
+  private def recordUri: Column =
+    concat(lit("https://h"), pmod(col("o_custkey"), lit(50)).cast("string"),
+      lit(".example.test/o/"), col("o_orderkey").cast("string"))
+
+  private def recordId(k: Column): Column =
+    concat(lit("<urn:graft:"), k.cast("string"), lit(">"))
+
+  /** Clean derived records(position, file, version, fields). */
+  private def derivedRecords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("position"),
+      lit("orders.warc").as("file"),
+      lit("WARC/1.1").as("version"),
+      array(
+        struct(lit("WARC-Record-ID").as("name"), recordId(col("o_orderkey")).as("value")),
+        struct(lit("WARC-Type").as("name"), warcType.as("value")),
+        struct(lit("Content-Length").as("name"),
+          round(col("o_totalprice") * 100).cast("long").cast("string").as("value")),
+        struct(lit("WARC-Date").as("name"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("value")),
+        struct(lit("Content-Type").as("name"), contentType.as("value")),
+        struct(lit("WARC-Target-URI").as("name"), recordUri.as("value")),
+        struct(lit("X-Priority").as("name"), col("o_orderpriority").as("value"))
+      ).as("fields"))
+
+  /** Dirty variant: injected problems (drop Content-Length %11, bad date
+    * %13, unknown type %17) + dangling WARC-Refers-To on metadata records.
+    */
+  private def derivedDirtyRecords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("position"),
+      lit("orders.warc").as("file"),
+      lit("WARC/1.1").as("version"),
+      filter(array(
+        struct(lit("WARC-Record-ID").as("name"), recordId(col("o_orderkey")).as("value")),
+        struct(lit("WARC-Type").as("name"),
+          when(pmod(col("o_orderkey"), lit(17)) === 0, lit("bogus"))
+            .otherwise(warcType).as("value")),
+        when(pmod(col("o_orderkey"), lit(11)) =!= 0,
+          struct(lit("Content-Length").as("name"),
+            round(col("o_totalprice") * 100).cast("long").cast("string").as("value"))),
+        struct(lit("WARC-Date").as("name"),
+          when(pmod(col("o_orderkey"), lit(13)) === 0, lit("not-a-date"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("value")),
+        struct(lit("Content-Type").as("name"), contentType.as("value")),
+        struct(lit("WARC-Target-URI").as("name"), recordUri.as("value")),
+        when(col("o_orderstatus") =!= "O" && col("o_orderstatus") =!= "F",
+          struct(lit("WARC-Refers-To").as("name"),
+            recordId(col("o_orderkey") * 2).as("value")))
+      ), x => x.isNotNull).as("fields"))
+
+  // ---- derived frontier from orders (p = key%3000, host = p%37) ----
+
+  private def frontierUrl: Column = {
+    val p = pmod(col("o_orderkey"), lit(3000)).cast("string")
+    val h = pmod(pmod(col("o_orderkey"), lit(3000)), lit(37)).cast("string")
+    val v = pmod(col("o_orderkey"), lit(4))
+    when(v === 0, concat(lit("https://H"), h, lit(".Example.Test:443/p/"), p, lit("?b=2&a=1#frag")))
+      .when(v === 1, concat(lit("http://h"), h, lit(".example.test:80/p/"), p))
+      .when(v === 2, concat(lit("https://h"), h, lit(".example.test:8443/p/"), p, lit("?x=1")))
+      .otherwise(concat(lit("http://h"), h, lit(".example.test.")))
+  }
+
+  private def derivedFrontier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      frontierUrl.as("url"),
+      pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band"))
+
+  /** Robots fixture derived from the same host universe: delay
+    * 250*(1+h%4) ms; hosts h%7==0 disallow the '/p/1' prefix.
+    */
+  private def derivedRobots(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(pmod(pmod(col("o_orderkey"), lit(3000)), lit(37)).as("hn")).distinct()
+      .select(
+        concat(lit("h"), col("hn").cast("string"), lit(".example.test")).as("host"),
+        (lit(250) * (lit(1) + pmod(col("hn"), lit(4)))).cast("int").as("crawl_delay_ms"),
+        when(pmod(col("hn"), lit(7)) === 0, array(lit("/p/1")))
+          .otherwise(array().cast("array<string>")).as("disallow_prefixes"))
+
+  // ======================================================================
+  // Flagship: one full frontier scheduling round (north rule pipeline) —
+  // canonicalize → in-batch dedupe → robots → token-bucket schedule →
+  // fetch batches, on sf0.001.
+  // ======================================================================
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val seen = Scheduler.loadSeen(spark, "/tmp/graft-entry-nonexistent")
+    Scheduler.runRound(derivedFrontier(spark, dir), seen, derivedRobots(spark, dir))
+  }
+
+  // ======================================================================
+  // Operator queries (SURVEY.md §2 inventory + training-data pipeline ops)
+  // ======================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 + F1: list projection over the ordered case-insensitive multimap
+    "q01_list_project" -> ((s, dir) =>
+      ListOp.list(derivedRecords(s, dir))),
+
+    // P2: FieldFilter compiler (include/exclude; exclude beats include)
+    "q02_field_filter" -> ((s, dir) => {
+      val pred = FilterOp.compile(
+        includes = Seq(FilterOp.ValueRule("warc-type", "response"),
+          FilterOp.ValueRule("WARC-Type", "resource")),
+        excludes = Seq(FilterOp.ValueRule("x-priority", "1-URGENT")))
+      derivedRecords(s, dir).where(pred)
+        .select(col("position"),
+          FieldOps.fieldGetOrEmpty(col("fields"), "WARC-Type").as("warc_type"))
+    }),
+
+    // S9: point lookup
+    "q03_point_get" -> ((s, dir) =>
+      derivedRecords(s, dir).where(col("position") === 4242)
+        .select(col("position"),
+          FieldOps.fieldGetOrEmpty(col("fields"), "WARC-Record-ID").as("record_id"),
+          FieldOps.fieldGetOrEmpty(col("fields"), "WARC-Target-URI").as("target_uri"))),
+
+    // S10: multi-input union
+    "q04_union_inputs" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").as("position"), lit("a").as("src"))
+        .unionByName(o.where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("position"), lit("b").as("src")))
+    }),
+
+    // A4/A5: aggregation (integer-exact)
+    "q05_agg_sum" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          count(lit(1)).as("n_rows"))),
+
+    // Broadcast join + aggregation
+    "q06_join_broadcast" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"))),
+
+    // J1 shape: anti-join (customers with no 'P'-status orders)
+    "q07_antijoin_refs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // Semi-join
+    "q08_semijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+
+    // J2 shape: per-group contiguity check (segment reassembly analog)
+    "q09_segments_gap" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          max(col("l_linenumber")).cast("long").as("max_line"))
+        .withColumn("has_gap", col("max_line") =!= col("n_lines"))),
+
+    // W2: window lag within ordered group
+    "q10_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"))
+    }),
+
+    // §2.6: per-key top-k (fetch-batch capping shape)
+    "q11_topk_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("user_id"), col("rank"), col("event_id"))
+    }),
+
+    // A1: digest functions
+    "q12_digest" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(col("text").cast("binary")).as("d_md5"),
+        sha2(col("text").cast("binary"), 256).as("d_sha256"))),
+
+    // Export: record → message chunk explode
+    "q13_export_messages" -> ((s, dir) =>
+      ExportImportOp.exportChunks(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Import: reassemble + checksum handshake
+    "q14_import_roundtrip" -> ((s, dir) =>
+      ExportImportOp.roundTrip(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Dedup: exact
+    "q15_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Text: token count
+    "q16_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
+
+    // Text: quality scoring
+    "q17_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_tokens").cast("long").as("n_tokens"),
+          col("q.n_unique").cast("long").as("n_unique"),
+          col("q.n_stop").cast("long").as("n_stop"),
+          col("q.n_punct").cast("long").as("n_punct"),
+          col("q.quality_milli").as("quality_milli"))),
+
+    // Text: language-ID heuristic
+    "q18_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+        .select(col("doc_id"), col("l.c_en").cast("long").as("c_en"),
+          col("l.c_es").cast("long").as("c_es"),
+          col("l.c_de").cast("long").as("c_de"),
+          col("l.c_fr").cast("long").as("c_fr"),
+          col("l.lang_pred").as("lang_pred"))),
+
+    // Text: fingerprint
+    "q19_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
+    // Text: n-gram shingle profile
+    "q20_ngram_profile" -> ((s, dir) =>
+      Dedup.ngramProfile(t(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("id"), col("n_shingles").cast("long").as("n_shingles"),
+          col("n_distinct_shingles").cast("long").as("n_distinct_shingles"))),
+
+    // Dedup: MinHash signatures
+    "q21_minhash_sig" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Dedup.minhashSig(col("text"), 4).as("sig"))
+        .select(col("doc_id"), col("sig.mh0").as("mh0"), col("sig.mh1").as("mh1"),
+          col("sig.mh2").as("mh2"), col("sig.mh3").as("mh3"))),
+
+    // Dedup: MinHash+LSH near-dup pairs (near-dups injected by construction)
+    "q22_minhash_lsh_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text")))
+      Dedup.minhashLsh(aug, "doc_id", "text", 800)
+    }),
+
+    // Dedup: SimHash
+    "q23_simhash" -> ((s, dir) =>
+      Dedup.simhash16(t(s, dir, "documents"), "doc_id", "text")),
+
+    // F16: URL canonicalization
+    "q24_url_canonicalize" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey").as("position"), frontierUrl.as("url"))
+        .select(col("position"),
+          Canonical.canonicalUrl(col("url")).as("canonical_url"),
+          Canonical.hostOf(col("url")).as("host"))),
+
+    // Frontier: in-batch dedupe (first sighting wins)
+    "q25_frontier_dedupe" -> ((s, dir) =>
+      Scheduler.dedupeWithinBatch(Scheduler.canonicalize(derivedFrontier(s, dir)))
+        .select(col("canonical_url"), col("priority_band"), col("url"))),
+
+    // Frontier: robots + deterministic token-bucket schedule
+    "q26_politeness_schedule" -> ((s, dir) => {
+      val deduped = Scheduler.dedupeWithinBatch(Scheduler.canonicalize(derivedFrontier(s, dir)))
+      Politeness.schedule(Politeness.applyRobots(deduped, derivedRobots(s, dir)))
+        .select(col("canonical_url"), col("host"), col("host_seq"),
+          col("scheduled_ms").cast("long").as("scheduled_ms"))
+    }),
+
+    // Frontier: fetch-batch emission (per-host budget)
+    "q27_fetch_batches" -> ((s, dir) => {
+      val deduped = Scheduler.dedupeWithinBatch(Scheduler.canonicalize(derivedFrontier(s, dir)))
+      val sched = Politeness.schedule(Politeness.applyRobots(deduped, derivedRobots(s, dir)))
+      Politeness.fetchBatches(sched, 10)
+        .groupBy(col("host"), col("batch_id"))
+        .agg(count(lit(1)).as("n_urls"))
+    }),
+
+    // Skew: salted two-phase host aggregation (== plain groupBy result)
+    "q28_host_stats_salted" -> ((s, dir) => {
+      val f = t(s, dir, "orders").select(
+        frontierUrl.as("url"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0, lit("hot.example.test"))
+          .otherwise(concat(lit("h"),
+            pmod(pmod(col("o_orderkey"), lit(3000)), lit(37)).cast("string"),
+            lit(".example.test"))).as("host"))
+      Scheduler.saltedHostCounts(f)
+    }),
+
+    // ANN: brute-force cosine top-k
+    "q29_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(e, e.where(col("vec_id") < 20), 5)
+    }),
+
+    // ANN: sign-bit LSH near-dup pairs, exact-cosine confirmed
+    "q30_embed_neardup_lsh" -> ((s, dir) =>
+      Ann.lshNearDupPairs(t(s, dir, "embeddings"), 4, 400)),
+
+    // Verify rule engine: per-record checks on dirty records
+    "q31_verify_problems" -> ((s, dir) =>
+      VerifyOp.problems(derivedDirtyRecords(s, dir))
+        .select(col("position"), col("kind"), col("detail"))),
+
+    // J1: reference-integrity anti-join (dangling Refers-To)
+    "q32_missing_refs" -> ((s, dir) =>
+      VerifyOp.missingReferences(derivedDirtyRecords(s, dir), Seq("WARC-Refers-To"))
+        .select(col("position"), col("record_id"), col("detail")))
+  )
+
+  // ======================================================================
+  // DuckDB oracles — same derivations, same integer/hex outputs.
+  // ======================================================================
+
+  private val wsExpr =
+    "CASE WHEN length(trim(text))=0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+
+  private val enStopSql = TextOps.EnStop.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private def langCount(stops: Seq[String]): String =
+    s"len(list_filter(ws, x -> x IN ${stops.map(w => s"'$w'").mkString("(", ",", ")")}))"
+
+  private val warcTypeSql =
+    "CASE o_orderstatus WHEN 'O' THEN 'response' WHEN 'F' THEN 'resource' ELSE 'metadata' END"
+  private val contentTypeSql =
+    "CASE o_orderstatus WHEN 'O' THEN 'application/http; msgtype=response' WHEN 'F' THEN 'image/png' ELSE 'text/plain' END"
+  private val recordUriSql =
+    "'https://h' || (o_custkey % 50) || '.example.test/o/' || o_orderkey"
+  private val contentLenSql =
+    "CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)"
+
+  /** Derived-frontier construction + expected canonical, shared by the
+    * frontier oracles. p = o%3000, h = p%37, v = o%4.
+    */
+  private val frontierCte =
+    """f AS (
+      |  SELECT
+      |    CASE o_orderkey % 4
+      |      WHEN 0 THEN 'https://H' || ((o_orderkey%3000)%37) || '.Example.Test:443/p/' || (o_orderkey%3000) || '?b=2&a=1#frag'
+      |      WHEN 1 THEN 'http://h' || ((o_orderkey%3000)%37) || '.example.test:80/p/' || (o_orderkey%3000)
+      |      WHEN 2 THEN 'https://h' || ((o_orderkey%3000)%37) || '.example.test:8443/p/' || (o_orderkey%3000) || '?x=1'
+      |      ELSE 'http://h' || ((o_orderkey%3000)%37) || '.example.test.'
+      |    END AS url,
+      |    CASE o_orderkey % 4
+      |      WHEN 0 THEN 'https://h' || ((o_orderkey%3000)%37) || '.example.test/p/' || (o_orderkey%3000) || '?a=1&b=2'
+      |      WHEN 1 THEN 'http://h' || ((o_orderkey%3000)%37) || '.example.test/p/' || (o_orderkey%3000)
+      |      WHEN 2 THEN 'https://h' || ((o_orderkey%3000)%37) || '.example.test:8443/p/' || (o_orderkey%3000) || '?x=1'
+      |      ELSE 'http://h' || ((o_orderkey%3000)%37) || '.example.test/'
+      |    END AS canonical_url,
+      |    'h' || ((o_orderkey%3000)%37) || '.example.test' AS host,
+      |    (o_orderkey%3000)%37 AS hn,
+      |    CASE o_orderkey % 4
+      |      WHEN 0 THEN '/p/' || (o_orderkey%3000)
+      |      WHEN 1 THEN '/p/' || (o_orderkey%3000)
+      |      WHEN 2 THEN '/p/' || (o_orderkey%3000)
+      |      ELSE '/'
+      |    END AS path,
+      |    CAST(floor(o_orderkey/3000.0) AS BIGINT) % 4 AS priority_band,
+      |    o_orderkey
+      |  FROM orders
+      |)""".stripMargin
+
+  private val dedupedCte =
+    s"""WITH $frontierCte,
+       |d AS (
+       |  SELECT * FROM (
+       |    SELECT f.*, row_number() OVER (PARTITION BY canonical_url ORDER BY priority_band, url) AS rn
+       |    FROM f
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  private val scheduledCte =
+    s"""$dedupedCte,
+       |pol AS (
+       |  SELECT d.*, 250 * (1 + hn % 4) AS crawl_delay_ms
+       |  FROM d
+       |  WHERE NOT (hn % 7 = 0 AND path LIKE '/p/1%')
+       |),
+       |sched AS (
+       |  SELECT canonical_url, host,
+       |    CAST(row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) AS BIGINT) AS host_seq,
+       |    CAST((row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) - 1) * crawl_delay_ms AS BIGINT) AS scheduled_ms
+       |  FROM pol
+       |)""".stripMargin
+
+  private def minhashCols(prefix: String): String =
+    (0 until 4).map(i =>
+      s"CASE WHEN len(sh)=0 THEN NULL ELSE list_aggregate(list_transform(sh, x -> md5('$i|' || x)), 'min') END AS ${prefix}mh$i"
+    ).mkString(", ")
+
+  private val shingleExpr =
+    "CASE WHEN len(ws)>=3 THEN list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END"
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_list_project" ->
+      s"""SELECT o_orderkey AS position,
+         | '<urn:graft:' || o_orderkey || '>' AS warc_record_id,
+         | $warcTypeSql AS warc_type,
+         | $contentTypeSql AS content_type,
+         | $recordUriSql AS warc_target_uri
+         |FROM orders""".stripMargin,
+
+    "q02_field_filter" ->
+      s"""SELECT o_orderkey AS position, $warcTypeSql AS warc_type
+         |FROM orders
+         |WHERE o_orderstatus IN ('O','F') AND o_orderpriority <> '1-URGENT'""".stripMargin,
+
+    "q03_point_get" ->
+      s"""SELECT o_orderkey AS position,
+         | '<urn:graft:' || o_orderkey || '>' AS record_id,
+         | $recordUriSql AS target_uri
+         |FROM orders WHERE o_orderkey = 4242""".stripMargin,
+
+    "q04_union_inputs" ->
+      """SELECT o_orderkey AS position, 'a' AS src FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey AS position, 'b' AS src FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q05_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        | SUM(CAST(round(l_quantity*100, 0) AS BIGINT)) AS sum_qty_c,
+        | SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sum_price_c,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q06_join_broadcast" ->
+      """SELECT c_mktsegment,
+        | COUNT(*) AS n_orders,
+        | SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS sum_price_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q07_antijoin_refs" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+
+    "q08_semijoin" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+
+    "q09_segments_gap" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        | CAST(MAX(l_linenumber) AS BIGINT) AS max_line,
+        | CAST(MAX(l_linenumber) AS BIGINT) <> COUNT(*) AS has_gap
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q10_window_lag" ->
+      """SELECT event_id, user_id,
+        | lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+        |FROM events""".stripMargin,
+
+    "q11_topk_per_key" ->
+      """SELECT user_id, rank, event_id FROM (
+        | SELECT user_id, event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rank
+        | FROM events
+        |) WHERE rank <= 3""".stripMargin,
+
+    "q12_digest" ->
+      "SELECT doc_id, md5(text) AS d_md5, sha256(text) AS d_sha256 FROM documents",
+
+    "q13_export_messages" ->
+      """SELECT doc_id AS id, CAST(t.i AS BIGINT) AS chunk_idx,
+        | substring(text, CAST(1 + t.i*64 AS INT), 64) AS chunk
+        |FROM documents, UNNEST(range(0, GREATEST(CAST(ceil(length(text)/64.0) AS BIGINT), 1))) AS t(i)""".stripMargin,
+
+    "q14_import_roundtrip" ->
+      """WITH chunks AS (
+        |  SELECT doc_id AS id, t.i AS chunk_idx, substring(text, CAST(1 + t.i*64 AS INT), 64) AS chunk
+        |  FROM documents, UNNEST(range(0, GREATEST(CAST(ceil(length(text)/64.0) AS BIGINT), 1))) AS t(i)
+        |), re AS (
+        |  SELECT id, string_agg(chunk, '' ORDER BY chunk_idx) AS payload FROM chunks GROUP BY id
+        |)
+        |SELECT re.id, md5(re.payload) = md5(d.text) AS ok, md5(d.text) AS payload_md5
+        |FROM re JOIN documents d ON d.doc_id = re.id""".stripMargin,
+
+    "q15_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q16_token_count" ->
+      s"SELECT doc_id, CAST(len($wsExpr) AS BIGINT) AS n_tokens FROM documents",
+
+    "q17_quality_score" ->
+      s"""WITH w AS (SELECT doc_id, text, $wsExpr AS ws FROM documents)
+         |SELECT doc_id,
+         | CAST(len(ws) AS BIGINT) AS n_tokens,
+         | CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique,
+         | CAST(len(list_filter(ws, x -> x IN $enStopSql)) AS BIGINT) AS n_stop,
+         | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         | CASE WHEN len(ws)=0 THEN 0 ELSE CAST(floor(
+         |   500.0 * len(list_filter(ws, x -> x IN $enStopSql)) / len(ws)
+         |   + 500.0 * len(list_distinct(ws)) / len(ws)) AS BIGINT) END AS quality_milli
+         |FROM w""".stripMargin,
+
+    "q18_lang_id" ->
+      s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(${langCount(TextOps.EnStop)} AS BIGINT) AS c_en,
+         |  CAST(${langCount(TextOps.EsStop)} AS BIGINT) AS c_es,
+         |  CAST(${langCount(TextOps.DeStop)} AS BIGINT) AS c_de,
+         |  CAST(${langCount(TextOps.FrStop)} AS BIGINT) AS c_fr
+         | FROM w)
+         |SELECT doc_id, c_en, c_es, c_de, c_fr,
+         | CASE WHEN c_en=0 AND c_es=0 AND c_de=0 AND c_fr=0 THEN 'und'
+         |      WHEN c_en>=c_es AND c_en>=c_de AND c_en>=c_fr THEN 'en'
+         |      WHEN c_es>=c_de AND c_es>=c_fr THEN 'es'
+         |      WHEN c_de>=c_fr THEN 'de'
+         |      ELSE 'fr' END AS lang_pred
+         |FROM c""".stripMargin,
+
+    "q19_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q20_ngram_profile" ->
+      s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents)
+         |SELECT doc_id AS id,
+         | CAST(CASE WHEN len(ws)>=3 THEN len(ws)-2 ELSE 0 END AS BIGINT) AS n_shingles,
+         | CAST(CASE WHEN len(ws)>=3 THEN len(list_distinct(list_transform(range(1, len(ws)-1),
+         |   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) ELSE 0 END AS BIGINT) AS n_distinct_shingles
+         |FROM w""".stripMargin,
+
+    "q21_minhash_sig" ->
+      s"""WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |s AS (SELECT doc_id, $shingleExpr AS sh FROM w)
+         |SELECT doc_id, ${minhashCols("")}
+         |FROM s""".stripMargin,
+
+    "q22_minhash_lsh_pairs" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text FROM documents
+         |), w AS (SELECT doc_id, $wsExpr AS ws FROM aug),
+         |s AS (SELECT doc_id, list_distinct(ws) AS wset, $shingleExpr AS sh FROM w),
+         |sig AS (SELECT doc_id, wset, ${minhashCols("")} FROM s WHERE len(sh) > 0),
+         |b AS (SELECT doc_id, wset, mh0 || mh1 AS band FROM sig),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+         |   CAST(floor(1000.0 * len(list_filter(a.wset, x -> list_contains(bb.wset, x)))
+         |     / len(list_distinct(list_concat(a.wset, bb.wset)))) AS BIGINT) AS jaccard_milli
+         |  FROM b a JOIN b bb ON a.band = bb.band AND a.doc_id < bb.doc_id
+         |)
+         |SELECT DISTINCT id_a, id_b, jaccard_milli FROM pairs WHERE jaccard_milli >= 800""".stripMargin,
+
+    "q23_simhash" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wsExpr) AS wd FROM documents),
+         |h AS (SELECT doc_id, md5(wd) AS hh FROM w),
+         |s AS (SELECT doc_id, ${(0 until 16).map(j =>
+        s"SUM(CASE WHEN substring(hh, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
+         | FROM h GROUP BY doc_id)
+         |SELECT doc_id AS id, CAST(${(0 until 16).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |FROM s""".stripMargin,
+
+    "q24_url_canonicalize" ->
+      s"""WITH $frontierCte
+         |SELECT o_orderkey AS position, canonical_url, host FROM f""".stripMargin,
+
+    "q25_frontier_dedupe" ->
+      s"""$dedupedCte
+         |SELECT canonical_url, CAST(priority_band AS INT) AS priority_band, url FROM d""".stripMargin,
+
+    "q26_politeness_schedule" ->
+      s"""$scheduledCte
+         |SELECT canonical_url, host, host_seq, scheduled_ms FROM sched""".stripMargin,
+
+    "q27_fetch_batches" ->
+      s"""$scheduledCte
+         |SELECT host, CAST(floor((host_seq - 1) / 10.0) AS BIGINT) AS batch_id, COUNT(*) AS n_urls
+         |FROM sched GROUP BY 1, 2""".stripMargin,
+
+    "q28_host_stats_salted" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'hot.example.test'
+        |  ELSE 'h' || ((o_orderkey%3000)%37) || '.example.test' END AS host,
+        | COUNT(*) AS n_urls
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q29_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |p AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |   $dotSql / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+         |      * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) AS cos
+         |  FROM q, (SELECT vec_id, embedding AS ce FROM embeddings) e
+         |  WHERE e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM p
+         |) WHERE rank <= 5""".stripMargin,
+
+    "q30_embed_neardup_lsh" ->
+      s"""WITH k AS (
+         |  SELECT vec_id, embedding,
+         |   ${(0 until 4).map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bucket
+         |  FROM embeddings
+         |)
+         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         | CAST(floor(1000.0 *
+         |   list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))) AS BIGINT) AS cos_milli
+         |FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE CAST(floor(1000.0 *
+         |   list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))) AS BIGINT) >= 400""".stripMargin,
+
+    "q31_verify_problems" ->
+      """SELECT o_orderkey AS position, 'missing_mandatory_field' AS kind, 'Content-Length' AS detail
+        |FROM orders WHERE o_orderkey % 11 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'invalid_date', 'not-a-date' FROM orders WHERE o_orderkey % 13 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'unknown_record_type', 'bogus' FROM orders WHERE o_orderkey % 17 = 0""".stripMargin,
+
+    "q32_missing_refs" ->
+      """SELECT o_orderkey AS position,
+        | '<urn:graft:' || o_orderkey || '>' AS record_id,
+        | 'WARC-Refers-To -> <urn:graft:' || (o_orderkey*2) || '>' AS detail
+        |FROM orders o1
+        |WHERE o_orderstatus NOT IN ('O','F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = o1.o_orderkey * 2)""".stripMargin
+  )
 }

@@ -1,0 +1,129 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level operations over the ordered, case-insensitive header
+  * multimap (`array<struct<name:string, value:string>>`).
+  *
+  * Semantics follow the reference exactly:
+  *   - `get` = FIRST case-insensitive match (src/fields.rs:111-120)
+  *   - `getAll` = all matches in insertion order (src/fields.rs:122-134)
+  *   - `contains` = case-insensitive existence (src/fields.rs:101-109)
+  *   - missing field in a projection → empty string (src/app/list.rs:38-41)
+  *
+  * Everything here is built from Catalyst higher-order functions
+  * (`filter`/`exists`/`transform`) so the whole lookup stays inside
+  * whole-stage codegen — no Scala UDF on the hot path.
+  */
+object FieldOps {
+
+  private def nameMatches(f: Column, name: String): Column =
+    lower(f.getField("name")) === lit(name.toLowerCase)
+
+  /** First value for `name`, case-insensitive; null when absent.
+    * (`try_element_at`: ANSI-safe on no-match — returns null, never errors.)
+    */
+  def fieldGet(fields: Column, name: String): Column =
+    try_element_at(filter(fields, f => nameMatches(f, name)), lit(1)).getField("value")
+
+  /** First value for `name`, or empty string (list-projection semantics,
+    * src/app/list.rs:38-41).
+    */
+  def fieldGetOrEmpty(fields: Column, name: String): Column =
+    coalesce(fieldGet(fields, name), lit(""))
+
+  /** All values for `name`, insertion order preserved. */
+  def fieldGetAll(fields: Column, name: String): Column =
+    transform(filter(fields, f => nameMatches(f, name)), f => f.getField("value"))
+
+  /** Case-insensitive existence. */
+  def fieldContains(fields: Column, name: String): Column =
+    exists(fields, f => nameMatches(f, name))
+
+  /** Count of entries for `name` (multimap cardinality). */
+  def fieldCount(fields: Column, name: String): Column =
+    size(filter(fields, f => nameMatches(f, name)))
+
+  // ---- typed getters (lazily-typed access, reference src/fields.rs:142-150,
+  //      src/header/fields.rs:75-125) ----
+
+  /** Strict u64 parse: digits only — rejects `+`, whitespace, hex
+    * (src/parse.rs:56-62). Null when invalid/absent.
+    */
+  def getU64Strict(fields: Column, name: String): Column = {
+    val v = fieldGet(fields, name)
+    when(v.rlike("^[0-9]+$"), v.cast("long"))
+  }
+
+  /** RFC-3339 date (WARC-Date, src/header/fields.rs:80-86). Null when invalid. */
+  def getDate(fields: Column, name: String): Column =
+    try_to_timestamp(fieldGet(fields, name), lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]XXX"))
+
+  /** URL with `<...>` angle-bracket stripping (src/header/fields.rs:108-120).
+    * Returns struct(bad_spec: boolean, url: string). `bad_spec` is the
+    * reference's BadSpecUri condition (verify.rs:560-565): the value was
+    * wrapped in angle brackets where a bare URI is required.
+    */
+  def getUrl(fields: Column, name: String): Column = {
+    val v = fieldGet(fields, name)
+    val wrapped = v.startsWith("<") && v.endsWith(">")
+    val inner = substring_rel(v)
+    struct(
+      coalesce(wrapped, lit(false)).as("bad_spec"),
+      when(wrapped, inner).otherwise(v).as("url")
+    )
+  }
+
+  private def substring_rel(v: Column): Column =
+    v.substr(lit(2), length(v) - 2)
+
+  /** Basic URI validity: scheme ':' rest (java.net.URI-level check is done
+    * in the UDF variant; this column version covers the verify checks'
+    * parse-must-succeed gate for synthetic inputs).
+    */
+  def urlParses(v: Column): Column =
+    v.rlike("^[A-Za-z][A-Za-z0-9+.-]*:\\S*$")
+
+  /** IP address validity (v4 dotted-quad or bracketless v6,
+    * src/header/fields.rs:122-125).
+    */
+  def ipParses(v: Column): Column =
+    v.rlike("^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$") ||
+      v.rlike("^[0-9A-Fa-f:]+:[0-9A-Fa-f:]*$")
+
+  /** Media-type parse (type/subtype;k=v, grammar src/parse/fields.rs:87-126)
+    * → struct(type, subtype, ok).
+    */
+  def mediaType(v: Column): Column = {
+    val tchar = "[!#$%&'*+.^_`|~0-9A-Za-z-]+"
+    val ok = v.rlike(s"^$tchar/$tchar(\\s*;.*)?$$")
+    struct(
+      when(ok, lower(regexp_extract(v, s"^($tchar)/", 1))).as("type"),
+      when(ok, lower(regexp_extract(v, s"^$tchar/($tchar)", 1))).as("subtype"),
+      ok.as("ok")
+    )
+  }
+
+  /** Comma-list header split: lowercased, trimmed, deduped, order kept
+    * (src/http/h1/header/fields.rs:15-31).
+    */
+  def commaList(v: Column): Column =
+    array_distinct(transform(split(v, ","), s => trim(lower(s))))
+
+  /** Line-folding removal: CRLF/NL + leading whitespace → single space
+    * (src/parse.rs:65-68).
+    */
+  def unfold(v: Column): Column =
+    regexp_replace(v, "(?:\r\n|\n)[ \t]+", " ")
+
+  /** Field-name validity: HTTP tchar set (src/parse/fields.rs:36-50). */
+  def validFieldName(v: Column): Column =
+    v.rlike("^[!#$%&'*+.^_`|~0-9A-Za-z-]+$")
+
+  /** Field-value validity: visible chars + space/tab + obs-text
+    * (src/parse/fields.rs:52-79).
+    */
+  def validFieldValue(v: Column): Column =
+    !v.rlike("[\\x00-\\x08\\x0A-\\x1F\\x7F]")
+}

@@ -1,0 +1,55 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-host politeness: robots.txt cache broadcast + deterministic
+  * token-bucket scheduling (north rule).
+  *
+  * The schedule is WINDOW-BASED, not wall-clock: within each host, URLs are
+  * totally ordered by (priority_band, canonical_url) and the i-th URL is
+  * scheduled at `i * crawl_delay_ms`. Same input ⇒ same schedule at ANY
+  * parallelism — this is what makes crawl ordering reproducible across
+  * cluster sizes (SURVEY.md §7.4 #1).
+  */
+object Politeness {
+
+  val DefaultDelayMs = 1000L
+
+  /** Robots filter: drop URLs whose path starts with a disallowed prefix.
+    * `robots(host, crawl_delay_ms, disallow_prefixes)` is broadcast — it is
+    * host-cardinality (small) while the frontier is URL-cardinality (huge).
+    * Rows with no robots entry keep the default delay.
+    */
+  def applyRobots(frontier: DataFrame, robots: DataFrame): DataFrame = {
+    val path = regexp_extract(col("canonical_url"), "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    frontier
+      .join(broadcast(robots), Seq("host"), "left")
+      .withColumn("crawl_delay_ms",
+        coalesce(col("crawl_delay_ms").cast("long"), lit(DefaultDelayMs)))
+      .withColumn("disallowed",
+        coalesce(exists(col("disallow_prefixes"), p => path.startsWith(p)), lit(false)))
+      .where(!col("disallowed"))
+      .drop("disallowed", "disallow_prefixes")
+  }
+
+  /** Deterministic token-bucket schedule: per host, ordered by
+    * (priority_band asc, canonical_url asc), the n-th URL fetches at
+    * (n-1) * crawl_delay_ms. Requires columns: host, canonical_url,
+    * priority_band, crawl_delay_ms. Adds host_seq + scheduled_ms.
+    */
+  def schedule(frontier: DataFrame): DataFrame = {
+    val w = Window.partitionBy("host").orderBy(col("priority_band").asc, col("canonical_url").asc)
+    frontier
+      .withColumn("host_seq", row_number().over(w).cast("long"))
+      .withColumn("scheduled_ms", (col("host_seq") - 1) * col("crawl_delay_ms"))
+  }
+
+  /** Fetch-batch emission: cap each host at `perHostBudget` URLs per batch;
+    * batch_id = (host_seq-1) / budget. The per-host LIMIT of SURVEY.md §2.6.
+    */
+  def fetchBatches(scheduled: DataFrame, perHostBudget: Int): DataFrame =
+    scheduled.withColumn("batch_id",
+      floor((col("host_seq") - 1) / perHostBudget).cast("long"))
+}

@@ -1,0 +1,109 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The priority frontier round: canonicalize → dedupe (bloom probe +
+  * anti-join confirm) → politeness-gated schedule → fetch-batch emit, with
+  * per-partition lineage + metrics and parquet-checkpointed resume
+  * (north rule; Iceberg snapshots stand in as partitioned parquet round
+  * directories in-sandbox — same append-only contract).
+  *
+  * Shuffle plan at 10^10 URLs:
+  *   - canonicalization is narrow (zero shuffle);
+  *   - dedupe shuffles on url_key once (bloom prefilter shrinks the probe
+  *     side first);
+  *   - the frontier is range-partitioned by (priority_band, host_hash) so
+  *     each output partition owns whole hosts — politeness windows are
+  *     partition-local and hot hosts can't straddle partitions;
+  *   - host-level aggregates use two-phase salted aggregation
+  *     ([[saltedHostCounts]]) so a hot host can't skew a single reducer;
+  *   - robots is broadcast (host-cardinality).
+  */
+object Scheduler {
+
+  /** Canonicalize + key a raw frontier(url, priority_band, ...) — narrow. */
+  def canonicalize(frontier: DataFrame): DataFrame =
+    frontier
+      .withColumn("canonical_url", Canonical.canonicalUrl(col("url")))
+      .withColumn("host", Canonical.hostOf(col("url")))
+      .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
+      .withColumn("host_hash", Canonical.hostHash(col("host")))
+
+  /** In-batch dedupe: first sighting wins. Deterministic winner = min
+    * (priority_band, url) per canonical key.
+    */
+  def dedupeWithinBatch(canonical: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url_key")
+      .orderBy(col("priority_band").asc, col("url").asc)
+    canonical.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
+  /** One full scheduling round. `seenKeys` may be empty (first round).
+    * Returns the batch-ready frontier, range-partitioned by
+    * (priority_band, host_hash) and sorted within partitions — a
+    * deterministic total order reproducible at any parallelism.
+    */
+  def runRound(rawFrontier: DataFrame, seenKeys: DataFrame, robots: DataFrame,
+               perHostBudget: Int = 100, numBloomBuckets: Int = 64): DataFrame = {
+    val canon = dedupeWithinBatch(canonicalize(rawFrontier))
+    val fresh =
+      if (seenKeys.isEmpty) canon
+      else {
+        val buckets = SeenSet.buildBuckets(seenKeys, "url_key", numBloomBuckets)
+        SeenSet.probeAndConfirm(canon, seenKeys, "url_key", buckets, numBloomBuckets)
+      }
+    val polite = Politeness.applyRobots(fresh, robots)
+    val scheduled = Politeness.schedule(
+      polite.repartitionByRange(col("priority_band"), col("host_hash")))
+    Politeness.fetchBatches(scheduled, perHostBudget)
+      .sortWithinPartitions("priority_band", "scheduled_ms", "host_hash", "canonical_url")
+  }
+
+  /** Per-partition lineage + fetch metrics (north rule observability):
+    * one row per (partition, host) with URL counts and schedule span.
+    */
+  def partitionMetrics(batches: DataFrame): DataFrame =
+    batches
+      .withColumn("partition_id", spark_partition_id().cast("long"))
+      .groupBy("partition_id", "host")
+      .agg(count(lit(1)).as("n_urls"),
+        max("scheduled_ms").as("span_ms"),
+        countDistinct("batch_id").as("n_batches"))
+
+  /** Two-phase salted host aggregation: phase 1 groups on
+    * (host, salt = pmod(xxhash64(url), nSalt)) so a hot host fans across
+    * nSalt reducers; phase 2 merges the per-salt partials. Result is
+    * identical to a plain groupBy(host).count() — the salt only reshapes
+    * the shuffle.
+    */
+  def saltedHostCounts(canonical: DataFrame, nSalt: Int = 16): DataFrame =
+    canonical
+      .groupBy(col("host"), pmod(xxhash64(col("url")), lit(nSalt.toLong)).as("salt"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("host").agg(sum("c").as("n_urls"))
+
+  /** Checkpoint a round: append batches + newly-seen keys as parquet round
+    * dirs (the sandbox stand-in for Iceberg snapshot append).
+    */
+  def checkpointRound(batches: DataFrame, outDir: String, round: Int): Unit = {
+    batches.write.mode("overwrite").parquet(s"$outDir/rounds/round=$round")
+    batches.select("url_key").distinct()
+      .write.mode("overwrite").parquet(s"$outDir/seen/round=$round")
+  }
+
+  /** Resume: union all checkpointed seen keys (empty DataFrame when no
+    * rounds exist yet).
+    */
+  def loadSeen(spark: SparkSession, outDir: String): DataFrame = {
+    val dir = new java.io.File(s"$outDir/seen")
+    if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
+      spark.read.parquet(s"$outDir/seen")
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("url_key", LongType))))
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: sign-bit LSH
+  * bucketing so the candidate join is bucket-local, plus broadcast of the
+  * (small) query side — at 100 TB the corpus side never shuffles; only the
+  * query side is replicated.
+  *
+  * Dot products run in array order with double accumulation
+  * (`zip_with` + `aggregate`) — deterministic IEEE, reproducible across
+  * engines and cluster sizes.
+  */
+object Ann {
+
+  /** In-order double-precision dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself). The query side is broadcast —
+    * corpus scan stays partition-local; per-partition top-k then a final
+    * k-row-per-query merge (window over a tiny intermediate).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** Sign-bit LSH bucket key: one bit per leading dimension (dim value
+    * >= 0). Buckets collapse the candidate space so the near-dup join is
+    * bucket-local — the 100 TB-scale variant of [[bruteForceTopK]].
+    */
+  def signBucket(emb: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(element_at(emb, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Embedding near-duplicate pairs with cosine >= threshold (milli-scaled
+    * floor compare for cross-engine determinism). Exact all-pairs — used
+    * at test scale and as the confirm step after LSH bucketing.
+    */
+  def cosineNearDupPairs(df: DataFrame, cosMilliThreshold: Long): DataFrame = {
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        floor(lit(1000.0) * cosine(col("e_a"), col("e_b"))).cast("long").as("cos_milli"))
+      .where(col("cos_milli") >= cosMilliThreshold)
+  }
+
+  /** LSH-bucketed near-duplicate pairs: candidates share a sign-bit bucket;
+    * confirm with exact cosine. At scale the join shuffles only
+    * (bucket, id, embedding) and each bucket is small.
+    */
+  def lshNearDupPairs(df: DataFrame, bits: Int, cosMilliThreshold: Long): DataFrame = {
+    val keyed = df.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val a = keyed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = keyed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        floor(lit(1000.0) * cosine(col("e_a"), col("e_b"))).cast("long").as("cos_milli"))
+      .where(col("cos_milli") >= cosMilliThreshold)
+      .distinct()
+  }
+}
