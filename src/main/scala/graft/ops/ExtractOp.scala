@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.core.FieldOps._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** `extract` — payload extraction with decoder routing
+  * (reference src/extract.rs + src/app/extract.rs).
+  *
+  * Eligibility / routing (extract.rs:66-113): segmented records rejected;
+  * `response` with Content-Type application/http (msgtype=response or
+  * absent) and a target URI → HTTP decoder; `resource`/`conversion` with
+  * a URI → identity. Everything else is skipped.
+  *
+  * The routing predicate is pure Catalyst (`when` chain → `decoder_kind`
+  * enum column, pushed to the scan); only the HTTP body decode itself is
+  * a UDF (whole payload in one cell — SURVEY.md §2.9).
+  */
+object ExtractOp {
+
+  /** decoder_kind: 'http' | 'identity' | 'none' (extract.rs:66-113). */
+  def decoderKind(fields: Column): Column = {
+    val recType = lower(fieldGet(fields, "WARC-Type"))
+    val uri = fieldGet(fields, "WARC-Target-URI")
+    val mt = mediaType(fieldGet(fields, "Content-Type"))
+    val segmented = fieldContains(fields, "WARC-Segment-Number")
+    val isHttpResponse = mt.getField("ok") &&
+      mt.getField("type") === "application" && mt.getField("subtype") === "http"
+    when(segmented, "none")
+      .when(recType === "response" && uri.isNotNull && isHttpResponse, "http")
+      .when((recType === "resource" || recType === "conversion") && uri.isNotNull, "identity")
+      .otherwise("none")
+  }
+
+  private val parseHttpUdf = udf { (payload: Array[Byte]) =>
+    if (payload == null) null
+    else {
+      val p = HttpOps.parseResponse(payload)
+      (p.ok, p.status, p.body, p.error)
+    }
+  }
+
+  private val pathComponentsUdf = udf { (url: String) =>
+    if (url == null) null else UrlPath.urlToPathComponents(url)
+  }
+
+  /** Extract eligible records: adds decoder_kind, extracted bytes,
+    * path_components, http status/ok, and the xxh conflict id
+    * (app/extract.rs:104-167 uses xxh3; Spark's xxhash64 stands in —
+    * same role, different hash family, SURVEY.md §7.3).
+    */
+  def extract(records: DataFrame): DataFrame = {
+    val routed = records.withColumn("decoder_kind", decoderKind(col("fields")))
+      .where(col("decoder_kind") =!= "none")
+    routed
+      .withColumn("http", when(col("decoder_kind") === "http", parseHttpUdf(col("bytes"))))
+      .withColumn("extracted",
+        when(col("decoder_kind") === "http", col("http._3")).otherwise(col("bytes")))
+      .withColumn("http_ok", col("http._1"))
+      .withColumn("http_status", col("http._2"))
+      .withColumn("decode_error", col("http._4"))
+      .withColumn("path_components",
+        pathComponentsUdf(fieldGet(col("fields"), "WARC-Target-URI")))
+      .withColumn("conflict_id", xxhash64(col("extracted")))
+      .drop("http")
+  }
+}

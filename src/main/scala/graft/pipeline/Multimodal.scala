@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image) column operators over opaque `binary` cells with
+  * typed metadata — the BASELINE.json image/caption payload axis.
+  *
+  * Decode/encode is REAL for png/bmp/jpeg (JDK ImageIO, headless-safe,
+  * per-row on executors); the audio/video decode path is a clearly-marked
+  * deterministic stub (those libs are not in the container). The Spark
+  * plumbing — binary columns, batch-shaped UDFs, schema, partitioning —
+  * is real and tested.
+  *
+  * Fidelity gate (BASELINE.json per-row invariant): decoded-pixel
+  * allclose via PSNR ≥ 40 dB for lossy formats, exact for lossless,
+  * plus caption equality.
+  */
+object Multimodal {
+
+  java.lang.System.setProperty("java.awt.headless", "true")
+
+  def decode(bytes: Array[Byte]): Option[BufferedImage] =
+    Option(bytes).flatMap(b => Option(ImageIO.read(new ByteArrayInputStream(b))))
+
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    if (fmt == "jpeg" || fmt == "jpg") {
+      // explicit high quality: the fidelity gate is PSNR ≥ 40 dB and
+      // ImageIO's default (~0.75) lands in the mid-30s
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.95f)
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose(); ios.close()
+    } else {
+      val ok = ImageIO.write(img, fmt, out)
+      require(ok, s"no ImageIO writer for $fmt")
+    }
+    out.toByteArray
+  }
+
+  /** Peak signal-to-noise ratio over RGB channels; Infinity when equal. */
+  def psnr(a: BufferedImage, b: BufferedImage): Double = {
+    if (a.getWidth != b.getWidth || a.getHeight != b.getHeight) return 0.0
+    var se = 0.0
+    var n = 0
+    var y = 0
+    while (y < a.getHeight) {
+      var x = 0
+      while (x < a.getWidth) {
+        val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
+        var shift = 0
+        while (shift <= 16) {
+          val d = ((pa >> shift) & 0xff) - ((pb >> shift) & 0xff)
+          se += d.toDouble * d; n += 1
+          shift += 8
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (se == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 * n / se)
+  }
+
+  /** 64-bit average-hash: 8×8 block-mean grayscale, bit set when block
+    * mean > global mean. Pure arithmetic (no Graphics2D scaling) so the
+    * hash is bit-stable across JVMs.
+    */
+  def phash64(img: BufferedImage): Long = {
+    val gw = 8; val gh = 8
+    val means = new Array[Double](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * img.getWidth / gw; val x1 = math.max((gx + 1) * img.getWidth / gw, x0 + 1)
+        val y0 = gy * img.getHeight / gh; val y1 = math.max((gy + 1) * img.getHeight / gh, y0 + 1)
+        var sum = 0.0; var cnt = 0
+        var y = y0
+        while (y < y1 && y < img.getHeight) {
+          var x = x0
+          while (x < x1 && x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sum += ((p >> 16) & 0xff) * 0.299 + ((p >> 8) & 0xff) * 0.587 + (p & 0xff) * 0.114
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        means(gy * gw + gx) = if (cnt == 0) 0.0 else sum / cnt
+        gx += 1
+      }
+      gy += 1
+    }
+    val global = means.sum / means.length
+    means.zipWithIndex.foldLeft(0L) { case (acc, (m, i)) =>
+      if (m > global) acc | (1L << i) else acc
+    }
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Nearest-neighbor resize — deterministic, library-free. */
+  def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** STUB — deterministic fake for audio/video feature extraction (the
+    * real decoders are not in this container). Returns a fixed-length
+    * feature vector derived from content hashes so the Spark plumbing
+    * (schema, batching, partitioning) is exercised end-to-end.
+    */
+  def stubMediaFeatures(bytes: Array[Byte], dims: Int = 16): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256").digest(
+      if (bytes == null) Array.empty[Byte] else bytes)
+    (0 until dims).map(i => ((md(i * 2 % 32) & 0xff) * 256 + (md((i * 2 + 1) % 32) & 0xff))
+      / 65535.0f).toArray
+  }
+
+  // ---- column-level API ----
+
+  val imageMetaUdf = udf { (bytes: Array[Byte]) =>
+    decode(bytes).map(img => (img.getWidth, img.getHeight))
+  }
+
+  val phashUdf = udf { (bytes: Array[Byte]) => decode(bytes).map(phash64) }
+
+  val psnrUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    for (ia <- decode(a); ib <- decode(b)) yield psnr(ia, ib)
+  }
+
+  val resizeUdf = udf { (bytes: Array[Byte], w: Int, h: Int, fmt: String) =>
+    decode(bytes).map(img => encode(resize(img, w, h), fmt))
+  }
+
+  val mediaFeaturesUdf = udf { (bytes: Array[Byte]) => stubMediaFeatures(bytes) }
+
+  /** Per-row fidelity gate between two image tables (BASELINE.json
+    * invariant): PSNR ≥ 40 dB for lossy formats, exact bytes for
+    * lossless, caption equality. Returns rows that FAIL.
+    */
+  def fidelityProblems(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("image_id"), col("bytes").as("bytes_a"),
+      col("fmt"), col("caption").as("caption_a"))
+    val r = b.select(col("image_id"), col("bytes").as("bytes_b"),
+      col("caption").as("caption_b"))
+    l.join(r, Seq("image_id"))
+      .withColumn("psnr", psnrUdf(col("bytes_a"), col("bytes_b")))
+      .withColumn("pixel_ok",
+        when(col("fmt") === "jpeg", col("psnr") >= 40.0)
+          .otherwise(col("bytes_a") === col("bytes_b")))
+      .withColumn("caption_ok", col("caption_a") === col("caption_b"))
+      .where(!col("pixel_ok") || !col("caption_ok"))
+      .select(col("image_id"), col("psnr"), col("pixel_ok"), col("caption_ok"))
+  }
+}

@@ -1,0 +1,224 @@
+package graft
+
+import graft.core.Field
+import graft.frontier.{Canonical, Politeness, Scheduler, SeenSet}
+import graft.ops.{ExportImportOp, VerifyOp}
+import graft.synth.Synth
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CanonicalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(Tuple1(url)).toDF("url").select(Canonical.canonicalUrl($"url")).head.getString(0)
+
+  test("canonicalization contract") {
+    assert(canon("https://EX.com:443/a?b=2&a=1#f") == "https://ex.com/a?a=1&b=2")
+    assert(canon("http://ex.com:80/a") == "http://ex.com/a")
+    assert(canon("http://ex.com:8080/a") == "http://ex.com:8080/a")
+    assert(canon("https://ex.com.") == "https://ex.com/")
+    assert(canon("HTTP://User@Ex.Com/P?z=1") == "http://ex.com/P?z=1") // path case kept
+  }
+}
+
+class SeenSetSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("bloom probe + anti-join confirm ≡ exact anti-join at any fpp") {
+    val candidates = (0L until 2000L).map(k => (k, s"url-$k")).toDF("url_key", "url")
+    val seen = (0L until 2000L by 3).toDF("url_key")
+    val expected = SeenSet.dedupeExact(candidates, seen, "url_key")
+      .select("url_key").as[Long].collect().sorted
+    for (fpp <- Seq(0.5, 0.01)) { // even absurd fpp must not change results
+      val buckets = SeenSet.buildBuckets(seen, "url_key", 8, 1000, fpp)
+      val got = SeenSet.probeAndConfirm(candidates, seen, "url_key", buckets, 8)
+        .select("url_key").as[Long].collect().sorted
+      assert(got.sameElements(expected), s"fpp=$fpp")
+    }
+  }
+}
+
+class PolitenessSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("schedule is deterministic across partitioning (north rule W3)") {
+    val frontier = Scheduler.canonicalize(
+      Synth.frontierSeed(spark, 3000, nHosts = 50).toDF()
+        .select($"url", $"priority_band"))
+    val robots = Synth.robots(spark, 50).toDF()
+    def run(parts: Int) =
+      Politeness.schedule(Politeness.applyRobots(frontier.repartition(parts), robots))
+        .select("canonical_url", "host_seq", "scheduled_ms")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(run(1).sameElements(run(16)))
+  }
+
+  test("robots disallow prefixes drop URLs; delay defaults when no entry") {
+    val f = Scheduler.canonicalize(Seq(
+      ("https://h1.example.test/private0/x", 0),
+      ("https://h1.example.test/ok", 0),
+      ("https://unknown.example.test/ok", 0)).toDF("url", "priority_band"))
+    val robots = Seq(("h1.example.test", 100, Seq("/private0")))
+      .toDF("host", "crawl_delay_ms", "disallow_prefixes")
+    val out = Politeness.applyRobots(f, robots)
+      .select("canonical_url", "crawl_delay_ms").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size == 2)
+    assert(out("https://h1.example.test/ok") == 100L)
+    assert(out("https://unknown.example.test/ok") == Politeness.DefaultDelayMs)
+  }
+
+  test("full round: dedupe removes injected ~10% duplicates; batches respect budget") {
+    val raw = Synth.frontierSeed(spark, 2000, nHosts = 30).toDF()
+      .select($"url", $"priority_band")
+    val robots = Synth.robots(spark, 30).toDF()
+    val out = Scheduler.runRound(raw, Scheduler.loadSeen(spark, "/tmp/none"), robots,
+      perHostBudget = 5)
+    val n = out.count()
+    val distinctCanon = out.select("canonical_url").distinct().count()
+    assert(n == distinctCanon) // deduped
+    assert(n < 2000)           // duplicates actually existed and were removed
+    val maxPerBatch = out.groupBy("host", "batch_id").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxPerBatch <= 5)
+  }
+}
+
+class ExportImportSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("export → import round-trip incl. empty and exact-multiple payloads") {
+    val df = Seq((1L, "x" * 200), (2L, ""), (3L, "y" * 64), (4L, "short"))
+      .toDF("id", "payload")
+    val rt = ExportImportOp.roundTrip(df, "id", "payload")
+    assert(rt.count() == 4)
+    assert(rt.where(!col("ok")).count() == 0)
+  }
+
+  test("corrupted chunk fails the checksum handshake (import.rs:190-222)") {
+    val df = Seq((1L, "hello world payload")).toDF("id", "payload")
+    val chunks = ExportImportOp.exportChunks(df, "id", "payload")
+      .withColumn("chunk", concat(col("chunk"), lit("CORRUPT")))
+    val declared = ExportImportOp.exportBlockEnd(df, "id", "payload")
+    val rebuilt = ExportImportOp.importReassemble(chunks)
+    val ok = rebuilt.join(declared, Seq("id"))
+      .select(md5(col("payload").cast("binary")) === col("payload_md5")).head.getBoolean(0)
+    assert(!ok)
+  }
+}
+
+class VerifyOpSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("seeded generator records verify clean (reference functional baseline, " +
+    "test_decode.rs:122-125)") {
+    val records = Synth.warcRecordsDf(spark, round = 0)
+    assert(VerifyOp.problems(records).count() == 0)
+    assert(VerifyOp.missingReferences(records).count() == 0)
+    assert(VerifyOp.segmentProblems(records).count() == 0)
+  }
+
+  test("positions are exact cumulative serialized offsets (test_decode.rs:77-78)") {
+    val recs = Synth.warcRecords(round = 1, n = 20)
+    var expect = 0L
+    recs.foreach { r =>
+      assert(r.position == expect)
+      expect += graft.core.HeaderSerde.recordLength(r.version, r.fields, r.bytes.length.toLong)
+    }
+  }
+
+  test("block digest comparison catches corruption (verify.rs:813-832)") {
+    val recs = Synth.warcRecords(round = 0, n = 10)
+    val bad = recs.head.copy(bytes = recs.head.bytes :+ 0x00.toByte)
+    val all = bad +: recs.tail
+    val mismatches = all.count { r =>
+      val declared = r.fields.find(_.name == "WARC-Block-Digest").get.value
+      !graft.core.Digests.computeText("sha1", r.bytes).contains(declared)
+    }
+    assert(mismatches == 1)
+  }
+
+  test("segment gap and total-length checks (verify.rs:266-319)") {
+    def seg(pos: Long, origin: String, n: Long, len: Long, total: Option[Long],
+            tpe: String = "continuation") = {
+      val base = Seq(Field("WARC-Record-ID", s"<urn:s:$pos>"), Field("WARC-Type", tpe),
+        Field("WARC-Date", "2025-01-01T00:00:00Z"), Field("Content-Length", len.toString),
+        Field("WARC-Segment-Number", n.toString),
+        Field("WARC-Segment-Origin-ID", origin)) ++
+        total.map(t => Field("WARC-Segment-Total-Length", t.toString))
+      (pos, "f", "WARC/1.1", base)
+    }
+    val df = Seq(
+      seg(1, "<o:good>", 1, 10, None), seg(2, "<o:good>", 2, 20, Some(30L)),
+      seg(3, "<o:gap>", 1, 10, None), seg(4, "<o:gap>", 3, 10, Some(20L)),
+      seg(5, "<o:len>", 1, 10, None), seg(6, "<o:len>", 2, 10, Some(99L))
+    ).toDF("position", "file", "version", "fields")
+    val p = VerifyOp.segmentProblems(df).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(p.contains(("<o:gap>", "missing_segment")))
+    assert(p.contains(("<o:len>", "mismatched_segment_length")))
+    assert(!p.exists(_._1 == "<o:good>"))
+  }
+}
+
+class SynthAndMultimodalSpec extends AnyFunSuite {
+  import graft.pipeline.Multimodal
+
+  test("synthesizer is deterministic (same seed → identical rows)") {
+    val a = Synth.makeImage(42, 7)
+    val b = Synth.makeImage(42, 7)
+    assert(a.bytes.sameElements(b.bytes) && a.caption == b.caption && a.phash == b.phash)
+    assert(!Synth.makeImage(43, 7).bytes.sameElements(a.bytes))
+  }
+
+  test("images decode; jpeg meets the PSNR≥40dB gate vs source pixels " +
+    "(BASELINE.json per-row invariant)") {
+    for (i <- 0L until 12L) {
+      val row = Synth.makeImage(42, i)
+      val img = Multimodal.decode(row.bytes)
+      assert(img.isDefined, s"row $i (${row.fmt}) must decode")
+      assert(img.get.getWidth == row.w && img.get.getHeight == row.h)
+      if (row.fmt == "jpeg") {
+        // re-encode decoded pixels and compare round-trip stability
+        val re = Multimodal.encode(img.get, "jpeg")
+        val p = Multimodal.psnr(img.get, Multimodal.decode(re).get)
+        assert(p >= 40.0, s"jpeg row $i psnr=$p")
+      }
+    }
+  }
+
+  test("fidelity gate: identical tables pass, corrupted caption fails") {
+    import TestSpark.spark
+    val imgs = Synth.images(spark, 30).toDF()
+    assert(Multimodal.fidelityProblems(imgs, imgs).count() == 0)
+    val broken = imgs.withColumn("caption",
+      when(col("image_id") === "img-00000003", lit("WRONG")).otherwise(col("caption")))
+    val probs = Multimodal.fidelityProblems(imgs, broken).collect()
+    assert(probs.length == 1 && probs.head.getString(0) == "img-00000003")
+  }
+
+  test("phash: stable under jpeg re-encode, far for different images") {
+    val a = Synth.makeImage(42, 0) // png
+    val img = Multimodal.decode(a.bytes).get
+    val jpeg = Multimodal.decode(Multimodal.encode(img, "jpeg")).get
+    assert(Multimodal.hamming64(Multimodal.phash64(img), Multimodal.phash64(jpeg)) <= 4)
+    val other = Multimodal.decode(Synth.makeImage(42, 9).bytes).get
+    assert(Multimodal.hamming64(Multimodal.phash64(img), Multimodal.phash64(other)) > 4)
+  }
+
+  test("frontier seed has injected duplicates and host skew") {
+    import TestSpark.spark
+    import spark.implicits._
+    val seeds = Synth.frontierSeed(spark, 5000, nHosts = 200)
+    val urls = seeds.select("url").as[String].collect()
+    assert(urls.distinct.length < urls.length) // dups exist
+    val hostCounts = urls.groupBy(u => u.split('/')(2)).view.mapValues(_.length).toMap
+    assert(hostCounts.values.max > 3 * (urls.length / hostCounts.size)) // skew exists
+  }
+}
