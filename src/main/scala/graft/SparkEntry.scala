@@ -1,10 +1,11 @@
 package graft
 
-import graft.core.FieldOps
-import graft.frontier.{Canonical, Politeness, Scheduler}
-import graft.ops.{ExportImportOp, FilterOp, ListOp, VerifyOp}
-import graft.pipeline.{Ann, Dedup, TextOps}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.core.{Digests, Field, FieldOps, HeaderSerde}
+import graft.frontier.{Canonical, Politeness, Scheduler, SeenSet}
+import graft.ops.{ExportImportOp, ExtractOp, FilterOp, ListOp, VerifyOp}
+import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
+import graft.synth.Synth
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -343,7 +344,197 @@ object SparkEntry {
     // J1: reference-integrity anti-join (dangling Refers-To)
     "q32_missing_refs" -> ((s, dir) =>
       VerifyOp.missingReferences(derivedDirtyRecords(s, dir), Seq("WARC-Refers-To"))
-        .select(col("position"), col("record_id"), col("detail")))
+        .select(col("position"), col("record_id"), col("detail"))),
+
+    // P3: extract-eligibility routing (extract.rs:66-113); %19 records get
+    // a segment field and must be rejected
+    "q33_extract_route" -> ((s, dir) => {
+      val recs = derivedRecords(s, dir).withColumn("fields",
+        when(pmod(col("position"), lit(19)) === 0,
+          concat(col("fields"), array(struct(
+            lit("WARC-Segment-Number").as("name"), lit("1").as("value")))))
+          .otherwise(col("fields")))
+      recs.select(col("position"), ExtractOp.decoderKind(col("fields")).as("decoder_kind"))
+    }),
+
+    // F8: URL → escaped filesystem path components (extract.rs:166-289)
+    "q34_url_path" -> ((s, dir) =>
+      derivedRecords(s, dir).select(col("position"),
+        array_join(ExtractOp.pathComponents(
+          FieldOps.fieldGet(col("fields"), "WARC-Target-URI")), "|").as("path_joined"))),
+
+    // H1–H3: HTTP/1.1 payload decode — framing decision table end-to-end
+    // (content-length / 204-no-body / read-to-end / chunked)
+    "q35_http_parse" -> ((s, dir) => {
+      val v = pmod(col("doc_id"), lit(4))
+      val nBytes = length(col("text").cast("binary"))
+      val payload = when(v === 0, concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Length: "),
+        nBytes.cast("string"), lit("\r\n\r\n"), col("text")))
+        .when(v === 1, concat(lit("HTTP/1.1 204 No Content\r\n\r\n"), col("text")))
+        .when(v === 2, concat(lit("HTTP/1.1 200 OK\r\nX-Junk: 1\r\n\r\n"), col("text")))
+        .otherwise(concat(lit("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"),
+          hex(nBytes), lit("\r\n"), col("text"), lit("\r\n0\r\n\r\n")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ExtractOp.parseHttp(payload.cast("binary")).as("p"))
+        .select(col("doc_id"), col("p.ok").as("ok"),
+          col("p.status").cast("long").as("status"), md5(col("p.body")).as("body_md5"))
+    }),
+
+    // F6: digest text parse — hex + base32 auto-detect + label alias
+    "q36_digest_parse" -> ((s, dir) => {
+      val parseToHex = udf { (t: String) =>
+        Digests.parseDigest(t).map { case (a, v) => (a, Digests.hexEncode(v)) }
+      }
+      val md5B32 = udf { (hexStr: String) =>
+        Digests.hexDecode(hexStr).map(b => "md5:" + Digests.base32Encode(b)).orNull
+      }
+      t(s, dir, "documents").select(col("doc_id"),
+        parseToHex(concat(lit("md5:"), md5(col("text").cast("binary")))).as("a"),
+        parseToHex(md5B32(md5(col("text").cast("binary")))).as("b"),
+        parseToHex(concat(lit("SHA-256:"), sha2(col("text").cast("binary"), 256))).as("c"))
+        .select(col("doc_id"),
+          col("a._1").as("algo_hex"), col("a._2").as("val_hex"),
+          col("b._1").as("algo_b32"), col("b._2").as("val_b32"),
+          col("c._1").as("algo_alias"), col("c._2").as("val_alias"))
+    }),
+
+    // F9: header serialization — byte-exact vs an oracle-side string build
+    "q37_header_serialize" -> ((s, dir) => {
+      val ser = udf { (version: String, fields: Seq[Row]) =>
+        val fs = fields.map(r => Field(r.getString(0), r.getString(1)))
+        val bytes = HeaderSerde.serialize(version, fs)
+        (bytes.length.toLong, Digests.hexEncode(
+          java.security.MessageDigest.getInstance("MD5").digest(bytes)))
+      }
+      derivedRecords(s, dir)
+        .select(col("position"), ser(col("version"), col("fields")).as("h"))
+        .select(col("position"), col("h._1").as("header_len"), col("h._2").as("header_md5"))
+    }),
+
+    // F5: media-type parse (grammar parse/fields.rs:87-126); %23 rows invalid
+    "q38_media_type" -> ((s, dir) => {
+      val ct = when(pmod(col("o_orderkey"), lit(23)) === 0, lit("not a media type"))
+        .otherwise(contentType)
+      t(s, dir, "orders").select(col("o_orderkey").as("position"),
+          FieldOps.mediaType(ct).as("mt"))
+        .select(col("position"), col("mt.ok").as("mt_ok"),
+          col("mt.type").as("mt_type"), col("mt.subtype").as("mt_subtype"))
+    }),
+
+    // F2/F10/F12/F13: scalar functions — strict u64, unfold, comma-list,
+    // base64/hex encode
+    "q39_scalar_funcs" -> ((s, dir) => {
+      val pr = col("o_orderpriority")
+      val u64in = concat(when(pmod(col("o_orderkey"), lit(2)) === 0, lit("+"))
+        .otherwise(lit("")), col("o_orderkey").cast("string"))
+      t(s, dir, "orders").select(
+        col("o_orderkey").as("position"),
+        array_join(FieldOps.commaList(concat(pr, lit(",X , y,,x"))), "|").as("cl"),
+        FieldOps.unfold(concat(pr, lit("\r\n tail"))).as("unf"),
+        when(u64in.rlike("^[0-9]+$"), u64in.cast("long")).as("u64"),
+        base64(pr.cast("binary")).as("b64"),
+        hex(pr.cast("binary")).as("hx"),
+        FieldOps.validFieldName(
+          concat(pr, when(pmod(col("o_orderkey"), lit(3)) === 0, lit(" bad"))
+            .otherwise(lit("")))).as("vname"))
+    }),
+
+    // P5/F4/F3: typed getters — bad-spec <url> detect, ip validity, date
+    "q40_typed_getters" -> ((s, dir) => {
+      val wrapped = when(pmod(col("o_orderkey"), lit(2)) === 0,
+        concat(lit("<"), recordUri, lit(">"))).otherwise(recordUri)
+      val fields = array(
+        struct(lit("WARC-Target-URI").as("name"), wrapped.as("value")),
+        struct(lit("WARC-Date").as("name"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("value")),
+        struct(lit("WARC-IP-Address").as("name"),
+          concat(lit("10."), pmod(col("o_orderkey"), lit(300)).cast("string"),
+            lit(".0.1")).as("value")))
+      val u = FieldOps.getUrl(fields, "WARC-Target-URI")
+      t(s, dir, "orders").select(
+        col("o_orderkey").as("position"),
+        u.getField("bad_spec").as("bad_spec"),
+        u.getField("url").as("url"),
+        FieldOps.ipParses(FieldOps.fieldGet(fields, "WARC-IP-Address")).as("ip_ok"),
+        unix_timestamp(FieldOps.getDate(fields, "WARC-Date")).as("date_epoch"))
+    }),
+
+    // J3: partitioned-bloom seen-set probe + exact anti-join confirm ==
+    // plain anti-join (scale-independent correctness, SeenSet contract)
+    "q41_seen_bloom_dedupe" -> ((s, dir) => {
+      val candidates = Scheduler.dedupeWithinBatch(
+        Scheduler.canonicalize(derivedFrontier(s, dir)))
+      val seenKeys = Scheduler.canonicalize(
+        t(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(frontierUrl.as("url"), lit(0).as("priority_band")))
+        .select(col("url_key")).distinct()
+      val buckets = SeenSet.buildBuckets(seenKeys, "url_key", 16, 1 << 16)
+      SeenSet.probeAndConfirm(candidates, seenKeys, "url_key", buckets, 16)
+        .select(col("canonical_url"), col("priority_band"))
+    }),
+
+    // North-rule lineage/metrics: per-host fetch metrics over the schedule
+    "q42_host_lineage" -> ((s, dir) => {
+      val deduped = Scheduler.dedupeWithinBatch(Scheduler.canonicalize(derivedFrontier(s, dir)))
+      val sched = Politeness.schedule(Politeness.applyRobots(deduped, derivedRobots(s, dir)))
+      Politeness.fetchBatches(sched, 10)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          max(col("scheduled_ms")).cast("long").as("span_ms"),
+          countDistinct(col("batch_id")).as("n_batches"))
+    }),
+
+    // A3 failure path: import checksum mismatch on corrupted chunks
+    "q43_import_reject" -> ((s, dir) => {
+      val chunks = ExportImportOp.exportChunks(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("chunk",
+          when(pmod(col("id"), lit(7)) === 0 && col("chunk_idx") === 0,
+            concat(lit("X"), col("chunk"))).otherwise(col("chunk")))
+      val declared = ExportImportOp.exportBlockEnd(t(s, dir, "documents"), "doc_id", "text")
+      ExportImportOp.importReassemble(chunks).join(declared, Seq("id"))
+        .select(col("id"),
+          (md5(col("payload").cast("binary")) === col("payload_md5")).as("ok"))
+    }),
+
+    // ---- images-table ops (BASELINE.json input_hint; rows-only checks:
+    // the table is engine-synthesized, so DuckDB has no oracle input) ----
+
+    // Fidelity gate (PSNR≥40dB lossy / byte-exact lossless + caption
+    // equality): corrupted rows MUST be caught — output is the problem set
+    "q44_images_fidelity" -> ((s, _) => {
+      val imgs = Synth.images(s, 120).toDF()
+      val bad = imgs
+        .withColumn("bytes",
+          when(pmod(xxhash64(col("image_id")), lit(5)) === 0,
+            Multimodal.corruptPixelsUdf(col("bytes"), col("fmt"))).otherwise(col("bytes")))
+        .withColumn("caption",
+          when(pmod(xxhash64(col("image_id")), lit(7)) === 0, lit("WRONG"))
+            .otherwise(col("caption")))
+      Multimodal.fidelityProblems(imgs, bad)
+        .select(col("image_id"), col("pixel_ok"), col("caption_ok"))
+    }),
+
+    // Multimodal dedup: banded-LSH phash near-dup (resized copies collide)
+    "q45_phash_neardup" -> ((s, _) => {
+      val imgs = Synth.images(s, 120).toDF().select(col("image_id"), col("bytes"), col("fmt"))
+      val shrunk = imgs.select(
+        concat(col("image_id"), lit("-small")).as("image_id"),
+        Multimodal.resizeUdf(col("bytes"), lit(24), lit(24), col("fmt")).as("bytes"))
+      val all = imgs.select(col("image_id"), col("bytes")).unionByName(shrunk)
+        .select(col("image_id"), Multimodal.phashUdf(col("bytes")).as("phash"))
+      Multimodal.phashNearDupPairs(all, 4)
+    }),
+
+    // Multimodal plumbing: decode→meta equality + stub feature extraction
+    "q46_media_meta" -> ((s, _) =>
+      Synth.images(s, 120).toDF()
+        .select(col("image_id"), col("fmt"), col("w"), col("h"),
+          Multimodal.imageMetaUdf(col("bytes")).as("meta"),
+          Multimodal.mediaFeaturesUdf(col("bytes")).as("feat"))
+        .select(col("image_id"), col("fmt"),
+          (col("meta._1") === col("w") && col("meta._2") === col("h")).as("meta_ok"),
+          size(col("feat")).cast("long").as("n_feat")))
   )
 
   // ======================================================================
@@ -663,6 +854,94 @@ object SparkEntry {
         | 'WARC-Refers-To -> <urn:graft:' || (o_orderkey*2) || '>' AS detail
         |FROM orders o1
         |WHERE o_orderstatus NOT IN ('O','F')
-        |  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = o1.o_orderkey * 2)""".stripMargin
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = o1.o_orderkey * 2)""".stripMargin,
+
+    "q33_extract_route" ->
+      """SELECT o_orderkey AS position,
+        | CASE WHEN o_orderkey % 19 = 0 THEN 'none'
+        |      WHEN o_orderstatus = 'O' THEN 'http'
+        |      WHEN o_orderstatus = 'F' THEN 'identity'
+        |      ELSE 'none' END AS decoder_kind
+        |FROM orders""".stripMargin,
+
+    "q34_url_path" ->
+      """SELECT o_orderkey AS position,
+        | 'https|h' || (o_custkey % 50) || '.example.test|o|' || o_orderkey AS path_joined
+        |FROM orders""".stripMargin,
+
+    "q35_http_parse" ->
+      """SELECT doc_id, true AS ok,
+        | CAST(CASE doc_id % 4 WHEN 1 THEN 204 ELSE 200 END AS BIGINT) AS status,
+        | CASE doc_id % 4 WHEN 1 THEN md5('') ELSE md5(text) END AS body_md5
+        |FROM documents""".stripMargin,
+
+    "q36_digest_parse" ->
+      """SELECT doc_id,
+        | 'md5' AS algo_hex, md5(text) AS val_hex,
+        | 'md5' AS algo_b32, md5(text) AS val_b32,
+        | 'sha256' AS algo_alias, sha256(text) AS val_alias
+        |FROM documents""".stripMargin,
+
+    "q37_header_serialize" ->
+      s"""WITH h AS (
+         |  SELECT o_orderkey,
+         |   'WARC/1.1' || chr(13) || chr(10)
+         |   || 'WARC-Record-ID: <urn:graft:' || o_orderkey || '>' || chr(13) || chr(10)
+         |   || 'WARC-Type: ' || $warcTypeSql || chr(13) || chr(10)
+         |   || 'Content-Length: ' || $contentLenSql || chr(13) || chr(10)
+         |   || 'WARC-Date: ' || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') || chr(13) || chr(10)
+         |   || 'Content-Type: ' || $contentTypeSql || chr(13) || chr(10)
+         |   || 'WARC-Target-URI: ' || $recordUriSql || chr(13) || chr(10)
+         |   || 'X-Priority: ' || o_orderpriority || chr(13) || chr(10)
+         |   || chr(13) || chr(10) AS s
+         |  FROM orders
+         |)
+         |SELECT o_orderkey AS position, CAST(length(s) AS BIGINT) AS header_len,
+         | md5(s) AS header_md5
+         |FROM h""".stripMargin,
+
+    "q38_media_type" ->
+      """SELECT o_orderkey AS position,
+        | (o_orderkey % 23 <> 0) AS mt_ok,
+        | CASE WHEN o_orderkey % 23 = 0 THEN NULL
+        |      WHEN o_orderstatus = 'O' THEN 'application'
+        |      WHEN o_orderstatus = 'F' THEN 'image' ELSE 'text' END AS mt_type,
+        | CASE WHEN o_orderkey % 23 = 0 THEN NULL
+        |      WHEN o_orderstatus = 'O' THEN 'http'
+        |      WHEN o_orderstatus = 'F' THEN 'png' ELSE 'plain' END AS mt_subtype
+        |FROM orders""".stripMargin,
+
+    "q39_scalar_funcs" ->
+      """SELECT o_orderkey AS position,
+        | lower(o_orderpriority) || '|x|y|' AS cl,
+        | o_orderpriority || ' tail' AS unf,
+        | CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderkey END AS u64,
+        | to_base64(CAST(o_orderpriority AS BLOB)) AS b64,
+        | hex(CAST(o_orderpriority AS BLOB)) AS hx,
+        | (o_orderkey % 3 <> 0 AND o_orderpriority NOT LIKE '% %') AS vname
+        |FROM orders""".stripMargin,
+
+    "q40_typed_getters" ->
+      s"""SELECT o_orderkey AS position,
+         | (o_orderkey % 2 = 0) AS bad_spec,
+         | $recordUriSql AS url,
+         | (o_orderkey % 300 <= 255) AS ip_ok,
+         | CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS date_epoch
+         |FROM orders""".stripMargin,
+
+    "q41_seen_bloom_dedupe" ->
+      s"""$dedupedCte
+         |SELECT canonical_url, CAST(priority_band AS INT) AS priority_band FROM d
+         |WHERE canonical_url NOT IN (
+         |  SELECT canonical_url FROM f WHERE o_orderkey % 2 = 0)""".stripMargin,
+
+    "q42_host_lineage" ->
+      s"""$scheduledCte
+         |SELECT host, COUNT(*) AS n_urls, MAX(scheduled_ms) AS span_ms,
+         | COUNT(DISTINCT CAST(floor((host_seq - 1) / 10.0) AS BIGINT)) AS n_batches
+         |FROM sched GROUP BY 1""".stripMargin,
+
+    "q43_import_reject" ->
+      "SELECT doc_id AS id, (doc_id % 7 <> 0) AS ok FROM documents"
   )
 }

@@ -40,9 +40,21 @@ object ExtractOp {
     }
   }
 
+  /** Public column form: parse an HTTP/1.1 response payload cell →
+    * struct(ok, status, body, error) — the H1–H3 pipeline of SURVEY.md §2.9.
+    */
+  def parseHttp(payload: Column): Column = {
+    val p = parseHttpUdf(payload)
+    struct(p.getField("_1").as("ok"), p.getField("_2").as("status"),
+      p.getField("_3").as("body"), p.getField("_4").as("error"))
+  }
+
   private val pathComponentsUdf = udf { (url: String) =>
     if (url == null) null else UrlPath.urlToPathComponents(url)
   }
+
+  /** Public column form of F8: URL → escaped path components. */
+  def pathComponents(url: Column): Column = pathComponentsUdf(url)
 
   /** Extract eligible records: adds decoder_kind, extracted bytes,
     * path_components, http status/ok, and the xxh conflict id

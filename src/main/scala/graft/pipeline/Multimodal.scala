@@ -154,6 +154,49 @@ object Multimodal {
 
   val mediaFeaturesUdf = udf { (bytes: Array[Byte]) => stubMediaFeatures(bytes) }
 
+  /** Deterministic pixel corruption (paints the upper-left quadrant black,
+    * re-encodes in the same format) — drives the fidelity gate's FAIL path
+    * in tests: the damage is far beyond any 40 dB budget.
+    */
+  def corruptPixels(bytes: Array[Byte], fmt: String): Array[Byte] =
+    decode(bytes).map { img =>
+      var y = 0
+      while (y < img.getHeight / 2) {
+        var x = 0
+        while (x < img.getWidth / 2) { img.setRGB(x, y, 0); x += 1 }
+        y += 1
+      }
+      encode(img, fmt)
+    }.getOrElse(bytes)
+
+  val corruptPixelsUdf = udf { (bytes: Array[Byte], fmt: String) => corruptPixels(bytes, fmt) }
+
+  /** Banded-LSH near-duplicate pairs on the 64-bit phash: 8 bands × 8 bits;
+    * any pair at hamming ≤ 7 collides on ≥1 exact band (pigeonhole), so the
+    * band join finds every such pair without an n² cross join — the band
+    * join is an equi-join Catalyst shuffles on (band, band_value), which
+    * scales to 10^10 rows where brute force cannot. Pairs are then
+    * confirmed by exact hamming ≤ maxHamming (cheap, bit_count).
+    */
+  def phashNearDupPairs(images: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "8x8 banding only guarantees recall up to hamming 7")
+    val bands = (0 until 8).map(b =>
+      struct(lit(b).as("band"), shiftright(col("phash"), b * 8).bitwiseAND(lit(0xffL)).as("bv")))
+    val banded = images
+      .select(col("image_id"), col("phash"), explode(array(bands: _*)).as("bs"))
+      .select(col("image_id"), col("phash"), col("bs.band"), col("bs.bv"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.image_id") < col("b.image_id"))
+      .select(col("a.image_id").as("id_a"), col("b.image_id").as("id_b"),
+        call_function("bit_count",
+          col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Per-row fidelity gate between two image tables (BASELINE.json
     * invariant): PSNR ≥ 40 dB for lossy formats, exact bytes for
     * lossless, caption equality. Returns rows that FAIL.
