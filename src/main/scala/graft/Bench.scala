@@ -1,24 +1,111 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.frontier.Scheduler
+import graft.ops.VerifyOp
+import graft.synth.Synth
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main — prints ONE JSON line for the driver
+  * ({"metric","value","unit","queries","sf"} + headline/scaling extras).
+  *
+  * Three sections:
+  *  1. per-query wall time for every SparkEntry query at SPARK_GRAFT_SF_DIR;
+  *  2. north-rule headline throughput: frontier URLs scheduled/sec (full
+  *     canonicalize → dedupe → robots → schedule → batch round over a
+  *     synthesized skewed frontier) and records verified/sec (full §2.10
+  *     rule engine over derived records);
+  *  3. scaling evidence (BASELINE.json: efficiency ≥ 0.8 from N to 4N
+  *     executors): the SAME frontier job, SAME input size, run in fresh
+  *     SparkSessions at local[N/4] and local[N]; strong-scaling efficiency
+  *     = t_low / (4 · t_high). Warm-up runs first so JIT favors neither.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The headline frontier job: one full scheduling round at n URLs. */
+  private def frontierRound(spark: SparkSession, n: Int, nHosts: Int): Long = {
+    val frontier = Synth.frontierSeed(spark, n, nHosts).toDF()
+      .select(col("url"), col("priority_band"))
+    val robots = Synth.robots(spark, nHosts).toDF()
+    val seen = Scheduler.loadSeen(spark, "/tmp/graft-bench-none")
+    Scheduler.runRound(frontier, seen, robots).count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val low = math.max(cpus / 4, 1)
+    val frontierN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4000000").toInt
+    val nHosts = 10000
+
+    // ---- 1. per-query timings at full parallelism ----
+    var spark = session(cpus)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = time {
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalSec = queries.map(_._2).sum
+
+    // ---- 2. headline: records verified/sec (rule engine + J1 anti-join) ----
+    val recordsDf = spark.read.parquet(s"$sfDir/orders.parquet")
+    val nRecords = recordsDf.count()
+    val verifySec = time {
+      VerifyOp.problems(SparkEntry.dirtyRecordsFor(spark, sfDir)).count()
+    }
+    val recordsPerSec = nRecords / verifySec
+
+    // warm-up of the frontier job at full parallelism (JIT + codegen cache)
+    frontierRound(spark, frontierN / 4, nHosts)
     spark.stop()
+
+    // ---- 3. scaling: same job, same input, local[low] then local[cpus] ----
+    spark = session(low)
+    frontierRound(spark, frontierN / 4, nHosts) // warm this JVM config too
+    val tLow = time(frontierRound(spark, frontierN, nHosts))
+    spark.stop()
+
+    spark = session(cpus)
+    val tHigh = time(frontierRound(spark, frontierN, nHosts))
+    val scheduled = frontierRound(spark, frontierN, nHosts) // row count for tput
+    spark.stop()
+
+    val urlsPerSecHigh = frontierN / tHigh
+    val urlsPerSecLow = frontierN / tLow
+    val efficiency = tLow / ((cpus.toDouble / low) * tHigh)
+
+    def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.US, d)
+    val qs = queries.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f(totalSec)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""headline":{"frontier_urls":$frontierN,"urls_scheduled":$scheduled,""" +
+        s""""urls_scheduled_per_sec":${f(urlsPerSecHigh)},""" +
+        s""""records_verified":$nRecords,"records_verified_per_sec":${f(recordsPerSec)}},""" +
+        s""""scaling":{"cores_low":$low,"cores_high":$cpus,""" +
+        s""""sec_low":${f(tLow)},"sec_high":${f(tHigh)},""" +
+        s""""urls_per_sec_low":${f(urlsPerSecLow)},"urls_per_sec_high":${f(urlsPerSecHigh)},""" +
+        s""""efficiency":${f(efficiency)}}}""")
   }
 }

@@ -86,6 +86,10 @@ object SparkEntry {
             recordId(col("o_orderkey") * 2).as("value")))
       ), x => x.isNotNull).as("fields"))
 
+  /** Public handle for Bench (records-verified/sec headline). */
+  def dirtyRecordsFor(s: SparkSession, dir: String): DataFrame =
+    derivedDirtyRecords(s, dir)
+
   // ---- derived frontier from orders (p = key%3000, host = p%37) ----
 
   private def frontierUrl: Column = {

@@ -38,12 +38,18 @@ object ExportImportOp {
       .select(col("id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
   }
 
-  /** BlockEnd rows: per-id checksums of the whole payload. */
-  def exportBlockEnd(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+  /** BlockEnd rows: per-id checksums of the whole payload — crc32 +
+    * crc32c (native graft expression) + xxh64, like the reference's
+    * BlockEnd crc32/crc32c/xxh3 triple (src/app/model.rs:37-41).
+    */
+  def exportBlockEnd(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"),
       crc32(col(payloadCol).cast("binary")).as("crc32"),
+      graft.functions.GraftFunctions.crc32c(col(payloadCol).cast("binary")).as("crc32c"),
       xxhash64(col(payloadCol)).as("xxh64"),
       md5(col(payloadCol).cast("binary")).as("payload_md5"))
+  }
 
   /** Reassemble chunk messages back into whole payloads (ordered concat). */
   def importReassemble(chunks: DataFrame): DataFrame =
