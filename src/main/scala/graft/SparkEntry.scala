@@ -23,6 +23,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fanned-out table read: the sandbox parquet files are single-row-group
+    * (unsplittable → 1-task scans), so compute-heavy queries explicitly
+    * repartition after the scan — the standard Spark treatment for small
+    * unsplittable inputs. On a real cluster the inputs arrive as many
+    * files/row groups and the scan parallelizes natively; point lookups
+    * (q03) keep the raw `t` so filter pushdown reaches the scan.
+    */
+  private def ft(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   // ---- derived WARC records from orders (mirrored in the oracle CTEs) ----
 
   private def warcType: Column =
@@ -44,7 +54,14 @@ object SparkEntry {
 
   /** Clean derived records(position, file, version, fields). */
   private def derivedRecords(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders").select(
+    derivedRecordsFrom(ft(s, dir, "orders"))
+
+  /** Raw-scan variant (no fan-out) so point lookups keep filter pushdown. */
+  private def derivedRecordsRaw(s: SparkSession, dir: String): DataFrame =
+    derivedRecordsFrom(t(s, dir, "orders"))
+
+  private def derivedRecordsFrom(orders: DataFrame): DataFrame =
+    orders.select(
       col("o_orderkey").as("position"),
       lit("orders.warc").as("file"),
       lit("WARC/1.1").as("version"),
@@ -64,7 +81,7 @@ object SparkEntry {
     * %13, unknown type %17) + dangling WARC-Refers-To on metadata records.
     */
   private def derivedDirtyRecords(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders").select(
+    ft(s, dir, "orders").select(
       col("o_orderkey").as("position"),
       lit("orders.warc").as("file"),
       lit("WARC/1.1").as("version"),
@@ -103,7 +120,7 @@ object SparkEntry {
   }
 
   private def derivedFrontier(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders").select(
+    ft(s, dir, "orders").select(
       frontierUrl.as("url"),
       pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band"))
 
@@ -149,9 +166,9 @@ object SparkEntry {
           FieldOps.fieldGetOrEmpty(col("fields"), "WARC-Type").as("warc_type"))
     }),
 
-    // S9: point lookup
+    // S9: point lookup (raw scan -> filter pushdown; no fan-out)
     "q03_point_get" -> ((s, dir) =>
-      derivedRecords(s, dir).where(col("position") === 4242)
+      derivedRecordsRaw(s, dir).where(col("position") === 4242)
         .select(col("position"),
           FieldOps.fieldGetOrEmpty(col("fields"), "WARC-Record-ID").as("record_id"),
           FieldOps.fieldGetOrEmpty(col("fields"), "WARC-Target-URI").as("target_uri"))),
@@ -167,14 +184,14 @@ object SparkEntry {
 
     // A4/A5: aggregation (integer-exact)
     "q05_agg_sum" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+      ft(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
           count(lit(1)).as("n_rows"))),
 
     // Broadcast join + aggregation
     "q06_join_broadcast" -> ((s, dir) =>
-      t(s, dir, "orders")
+      ft(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
@@ -197,7 +214,7 @@ object SparkEntry {
 
     // J2 shape: per-group contiguity check (segment reassembly analog)
     "q09_segments_gap" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      ft(s, dir, "lineitem").groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_lines"),
           max(col("l_linenumber")).cast("long").as("max_line"))
         .withColumn("has_gap", col("max_line") =!= col("n_lines"))),
@@ -205,7 +222,7 @@ object SparkEntry {
     // W2: window lag within ordered group
     "q10_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-      t(s, dir, "events")
+      ft(s, dir, "events")
         .select(col("event_id"), col("user_id"),
           lag(col("event_id"), 1).over(w).as("prev_event_id"))
     }),
@@ -213,7 +230,7 @@ object SparkEntry {
     // §2.6: per-key top-k (fetch-batch capping shape)
     "q11_topk_per_key" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
-      t(s, dir, "events")
+      ft(s, dir, "events")
         .withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= 3)
         .select(col("user_id"), col("rank"), col("event_id"))
@@ -221,30 +238,30 @@ object SparkEntry {
 
     // A1: digest functions
     "q12_digest" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      ft(s, dir, "documents").select(col("doc_id"),
         md5(col("text").cast("binary")).as("d_md5"),
         sha2(col("text").cast("binary"), 256).as("d_sha256"))),
 
     // Export: record → message chunk explode
     "q13_export_messages" -> ((s, dir) =>
-      ExportImportOp.exportChunks(t(s, dir, "documents"), "doc_id", "text")),
+      ExportImportOp.exportChunks(ft(s, dir, "documents"), "doc_id", "text")),
 
     // Import: reassemble + checksum handshake
     "q14_import_roundtrip" -> ((s, dir) =>
-      ExportImportOp.roundTrip(t(s, dir, "documents"), "doc_id", "text")),
+      ExportImportOp.roundTrip(ft(s, dir, "documents"), "doc_id", "text")),
 
     // Dedup: exact
     "q15_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+      Dedup.exact(ft(s, dir, "documents"), "doc_id", "text")),
 
     // Text: token count
     "q16_token_count" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      ft(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
 
     // Text: quality scoring
     "q17_quality_score" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      ft(s, dir, "documents").select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
         .select(col("doc_id"), col("q.n_tokens").cast("long").as("n_tokens"),
           col("q.n_unique").cast("long").as("n_unique"),
           col("q.n_stop").cast("long").as("n_stop"),
@@ -253,7 +270,7 @@ object SparkEntry {
 
     // Text: language-ID heuristic
     "q18_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      ft(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("l"))
         .select(col("doc_id"), col("l.c_en").cast("long").as("c_en"),
           col("l.c_es").cast("long").as("c_es"),
           col("l.c_de").cast("long").as("c_de"),
@@ -262,25 +279,25 @@ object SparkEntry {
 
     // Text: fingerprint
     "q19_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      ft(s, dir, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
 
     // Text: n-gram shingle profile
     "q20_ngram_profile" -> ((s, dir) =>
-      Dedup.ngramProfile(t(s, dir, "documents"), "doc_id", "text", 3)
+      Dedup.ngramProfile(ft(s, dir, "documents"), "doc_id", "text", 3)
         .select(col("id"), col("n_shingles").cast("long").as("n_shingles"),
           col("n_distinct_shingles").cast("long").as("n_distinct_shingles"))),
 
     // Dedup: MinHash signatures
     "q21_minhash_sig" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      ft(s, dir, "documents").select(col("doc_id"),
         Dedup.minhashSig(col("text"), 4).as("sig"))
         .select(col("doc_id"), col("sig.mh0").as("mh0"), col("sig.mh1").as("mh1"),
           col("sig.mh2").as("mh2"), col("sig.mh3").as("mh3"))),
 
     // Dedup: MinHash+LSH near-dup pairs (near-dups injected by construction)
     "q22_minhash_lsh_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = ft(s, dir, "documents").select(col("doc_id"), col("text"))
       val aug = d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" graftdup")).as("text")))
       Dedup.minhashLsh(aug, "doc_id", "text", 800)
@@ -288,11 +305,11 @@ object SparkEntry {
 
     // Dedup: SimHash
     "q23_simhash" -> ((s, dir) =>
-      Dedup.simhash16(t(s, dir, "documents"), "doc_id", "text")),
+      Dedup.simhash16(ft(s, dir, "documents"), "doc_id", "text")),
 
     // F16: URL canonicalization
     "q24_url_canonicalize" -> ((s, dir) =>
-      t(s, dir, "orders").select(col("o_orderkey").as("position"), frontierUrl.as("url"))
+      ft(s, dir, "orders").select(col("o_orderkey").as("position"), frontierUrl.as("url"))
         .select(col("position"),
           Canonical.canonicalUrl(col("url")).as("canonical_url"),
           Canonical.hostOf(col("url")).as("host"))),
@@ -321,7 +338,7 @@ object SparkEntry {
 
     // Skew: salted two-phase host aggregation (== plain groupBy result)
     "q28_host_stats_salted" -> ((s, dir) => {
-      val f = t(s, dir, "orders").select(
+      val f = ft(s, dir, "orders").select(
         frontierUrl.as("url"),
         when(pmod(col("o_orderkey"), lit(2)) === 0, lit("hot.example.test"))
           .otherwise(concat(lit("h"),
@@ -332,13 +349,13 @@ object SparkEntry {
 
     // ANN: brute-force cosine top-k
     "q29_ann_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = ft(s, dir, "embeddings")
       Ann.bruteForceTopK(e, e.where(col("vec_id") < 20), 5)
     }),
 
     // ANN: sign-bit LSH near-dup pairs, exact-cosine confirmed
     "q30_embed_neardup_lsh" -> ((s, dir) =>
-      Ann.lshNearDupPairs(t(s, dir, "embeddings"), 4, 400)),
+      Ann.lshNearDupPairs(ft(s, dir, "embeddings"), 4, 400)),
 
     // Verify rule engine: per-record checks on dirty records
     "q31_verify_problems" -> ((s, dir) =>
@@ -379,7 +396,7 @@ object SparkEntry {
         .when(v === 2, concat(lit("HTTP/1.1 200 OK\r\nX-Junk: 1\r\n\r\n"), col("text")))
         .otherwise(concat(lit("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"),
           hex(nBytes), lit("\r\n"), col("text"), lit("\r\n0\r\n\r\n")))
-      t(s, dir, "documents")
+      ft(s, dir, "documents")
         .select(col("doc_id"), ExtractOp.parseHttp(payload.cast("binary")).as("p"))
         .select(col("doc_id"), col("p.ok").as("ok"),
           col("p.status").cast("long").as("status"), md5(col("p.body")).as("body_md5"))
@@ -393,7 +410,7 @@ object SparkEntry {
       val md5B32 = udf { (hexStr: String) =>
         Digests.hexDecode(hexStr).map(b => "md5:" + Digests.base32Encode(b)).orNull
       }
-      t(s, dir, "documents").select(col("doc_id"),
+      ft(s, dir, "documents").select(col("doc_id"),
         parseToHex(concat(lit("md5:"), md5(col("text").cast("binary")))).as("a"),
         parseToHex(md5B32(md5(col("text").cast("binary")))).as("b"),
         parseToHex(concat(lit("SHA-256:"), sha2(col("text").cast("binary"), 256))).as("c"))
@@ -420,7 +437,7 @@ object SparkEntry {
     "q38_media_type" -> ((s, dir) => {
       val ct = when(pmod(col("o_orderkey"), lit(23)) === 0, lit("not a media type"))
         .otherwise(contentType)
-      t(s, dir, "orders").select(col("o_orderkey").as("position"),
+      ft(s, dir, "orders").select(col("o_orderkey").as("position"),
           FieldOps.mediaType(ct).as("mt"))
         .select(col("position"), col("mt.ok").as("mt_ok"),
           col("mt.type").as("mt_type"), col("mt.subtype").as("mt_subtype"))
@@ -432,7 +449,7 @@ object SparkEntry {
       val pr = col("o_orderpriority")
       val u64in = concat(when(pmod(col("o_orderkey"), lit(2)) === 0, lit("+"))
         .otherwise(lit("")), col("o_orderkey").cast("string"))
-      t(s, dir, "orders").select(
+      ft(s, dir, "orders").select(
         col("o_orderkey").as("position"),
         array_join(FieldOps.commaList(concat(pr, lit(",X , y,,x"))), "|").as("cl"),
         FieldOps.unfold(concat(pr, lit("\r\n tail"))).as("unf"),
@@ -456,7 +473,7 @@ object SparkEntry {
           concat(lit("10."), pmod(col("o_orderkey"), lit(300)).cast("string"),
             lit(".0.1")).as("value")))
       val u = FieldOps.getUrl(fields, "WARC-Target-URI")
-      t(s, dir, "orders").select(
+      ft(s, dir, "orders").select(
         col("o_orderkey").as("position"),
         u.getField("bad_spec").as("bad_spec"),
         u.getField("url").as("url"),
@@ -470,7 +487,7 @@ object SparkEntry {
       val candidates = Scheduler.dedupeWithinBatch(
         Scheduler.canonicalize(derivedFrontier(s, dir)))
       val seenKeys = Scheduler.canonicalize(
-        t(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
+        ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
           .select(frontierUrl.as("url"), lit(0).as("priority_band")))
         .select(col("url_key")).distinct()
       val buckets = SeenSet.buildBuckets(seenKeys, "url_key", 16, 1 << 16)
@@ -491,11 +508,11 @@ object SparkEntry {
 
     // A3 failure path: import checksum mismatch on corrupted chunks
     "q43_import_reject" -> ((s, dir) => {
-      val chunks = ExportImportOp.exportChunks(t(s, dir, "documents"), "doc_id", "text")
+      val chunks = ExportImportOp.exportChunks(ft(s, dir, "documents"), "doc_id", "text")
         .withColumn("chunk",
           when(pmod(col("id"), lit(7)) === 0 && col("chunk_idx") === 0,
             concat(lit("X"), col("chunk"))).otherwise(col("chunk")))
-      val declared = ExportImportOp.exportBlockEnd(t(s, dir, "documents"), "doc_id", "text")
+      val declared = ExportImportOp.exportBlockEnd(ft(s, dir, "documents"), "doc_id", "text")
       ExportImportOp.importReassemble(chunks).join(declared, Seq("id"))
         .select(col("id"),
           (md5(col("payload").cast("binary")) === col("payload_md5")).as("ok"))

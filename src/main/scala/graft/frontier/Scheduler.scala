@@ -30,14 +30,22 @@ object Scheduler {
       .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
       .withColumn("host_hash", Canonical.hostHash(col("host")))
 
-  /** In-batch dedupe: first sighting wins. Deterministic winner = min
-    * (priority_band, url) per canonical key.
+  /** In-batch dedupe: first sighting wins. Deterministic winner = the
+    * lexicographic minimum of (priority_band, url, …rest) per canonical
+    * key — a HASH aggregation with map-side partial min, not a window:
+    * no per-partition sort, partial aggregation collapses duplicates
+    * before the shuffle, and ties are totally ordered (the row_number
+    * formulation sorts every partition and breaks ties arbitrarily).
     */
   def dedupeWithinBatch(canonical: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("url_key")
-      .orderBy(col("priority_band").asc, col("url").asc)
-    canonical.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val cols = canonical.columns.toSeq
+    val orderedFirst = Seq("priority_band", "url")
+    val rest = cols.filterNot(orderedFirst.contains)
+    val packed = struct((orderedFirst ++ rest).map(col): _*)
+    canonical
+      .groupBy(col("url_key").as("k"))
+      .agg(min(packed).as("m"))
+      .select(cols.map(c => col(s"m.$c").as(c)): _*)
   }
 
   /** One full scheduling round. `seenKeys` may be empty (first round).

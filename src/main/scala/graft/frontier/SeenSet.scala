@@ -1,63 +1,83 @@
 package graft.frontier
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import scala.collection.mutable
 
 /** Partitioned Bloom-filter URL-seen set (north rule; the cluster-native
   * replacement for the reference's redb RECORDS_TABLE membership probe,
   * /root/reference/src/verify.rs:405-411).
   *
   * Design for 10^10 keys: ONE driver-side bloom does not fit, so the seen
-  * set is bucketed by `pmod(url_key, numBuckets)` and each bucket holds its
-  * own bloom bitset, built with a distributed [[Aggregator]] (map-side
-  * partial blooms merged per bucket — the shuffle carries bitsets, never
-  * keys). Probing joins candidates to their bucket's (small) bitset.
+  * set is bucketed by `pmod(url_key, numBuckets)` and each bucket holds
+  * its own bloom bitset. Build = one shuffle of RAW 8-byte keys
+  * partitioned by bucket, then a per-partition mutable fold into the
+  * bucket's filter — the shuffle never carries bitsets, and no
+  * per-row serialize/deserialize happens anywhere (the naive
+  * Aggregator-over-binary formulation re-encodes the whole bitset on
+  * every row — O(n·bitset) memcpy).
+  *
+  * Probe = broadcast the (small) bucket table once; executors lazily
+  * deserialize each bucket's filter ONCE per JVM and test candidates in a
+  * codegen-wrapped UDF. At 10^10, buckets whose bitsets exceed the
+  * broadcast budget shard further by key range (same table layout, more
+  * buckets) — the layout is the Iceberg `seen_buckets` table of SURVEY §4.
   *
   * Correctness is scale-independent: the bloom is only a prefilter; every
   * positive is CONFIRMED by an exact left-anti join (the reference's
   * reference-integrity anti-join shape, src/verify.rs:230-264), so false
-  * positives never drop a URL and the result equals the exact anti-join at
-  * any scale / any fpp.
+  * positives never drop a URL and the result equals the exact anti-join
+  * at any scale / any fpp.
   */
 object SeenSet {
 
-  /** Distributed bloom-build aggregate: Aggregator over xxhash64 keys.
-    * Partial blooms are built map-side and OR-merged — commutative,
-    * associative, constant-size buffers.
-    */
-  final class BloomAgg(expectedPerBucket: Long, fpp: Double)
-      extends Aggregator[Long, Array[Byte], Array[Byte]] {
-    private def empty: BloomFilter = BloomFilter.create(expectedPerBucket, fpp)
-    private def ser(bf: BloomFilter): Array[Byte] = {
-      val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
-    }
-    private def deser(b: Array[Byte]): BloomFilter =
-      BloomFilter.readFrom(new ByteArrayInputStream(b))
-    override def zero: Array[Byte] = ser(empty)
-    override def reduce(buf: Array[Byte], key: Long): Array[Byte] = {
-      val bf = deser(buf); bf.putLong(key); ser(bf)
-    }
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      val x = deser(a); x.mergeInPlace(deser(b)); ser(x)
-    }
-    override def finish(r: Array[Byte]): Array[Byte] = r
-    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  private[frontier] def ser(bf: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
   }
+  private[frontier] def deser(b: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(b))
 
   def bucketOf(key: Column, numBuckets: Int): Column = pmod(key, lit(numBuckets.toLong))
 
   /** Build the per-bucket bloom table: (bucket: long, bloom: binary).
     * `seen` must carry a long column `keyCol` (xxhash64 of canonical URL).
+    * One hash shuffle of raw keys; each reduce partition folds its
+    * bucket(s) mutably.
     */
   def buildBuckets(seen: DataFrame, keyCol: String, numBuckets: Int,
                    expectedPerBucket: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
-    val agg = udaf(new BloomAgg(expectedPerBucket, fpp))
-    seen.groupBy(bucketOf(col(keyCol), numBuckets).as("bucket"))
-      .agg(agg(col(keyCol)).as("bloom"))
+    val spark = seen.sparkSession
+    import spark.implicits._
+    seen
+      .select(bucketOf(col(keyCol), numBuckets).as("bucket"),
+        col(keyCol).cast("long").as("k"))
+      .repartition(numBuckets, col("bucket"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val perBucket = mutable.LongMap.empty[BloomFilter]
+        it.foreach { case (b, k) =>
+          perBucket.getOrElseUpdate(b, BloomFilter.create(expectedPerBucket, fpp))
+            .putLong(k)
+        }
+        perBucket.iterator.map { case (b, bf) => (b, ser(bf)) }
+      }
+      .toDF("bucket", "bloom")
+  }
+
+  /** Executor-side probe over the broadcast bucket table; filters are
+    * deserialized once per JVM (transient lazy), not per row.
+    */
+  private final class BloomProbe(bc: Broadcast[Map[Long, Array[Byte]]], numBuckets: Int)
+      extends Serializable {
+    @transient private lazy val blooms: Map[Long, BloomFilter] =
+      bc.value.map { case (b, bytes) => b -> deser(bytes) }
+    def maybeSeen(key: Long): Boolean = {
+      val b = math.floorMod(key, numBuckets)
+      blooms.get(b.toLong).exists(_.mightContainLong(key))
+    }
   }
 
   /** Probe: keep candidate rows whose key might NOT be in the bloom, plus
@@ -67,13 +87,12 @@ object SeenSet {
     */
   def probeAndConfirm(candidates: DataFrame, seenKeys: DataFrame, keyCol: String,
                       buckets: DataFrame, numBuckets: Int): DataFrame = {
-    val mightContain = udf((bloom: Array[Byte], key: Long) =>
-      bloom != null && BloomFilter.readFrom(new ByteArrayInputStream(bloom)).mightContainLong(key))
-    val probed = candidates
-      .withColumn("bucket", bucketOf(col(keyCol), numBuckets))
-      .join(broadcast(buckets), Seq("bucket"), "left")
-      .withColumn("maybe_seen", coalesce(mightContain(col("bloom"), col(keyCol)), lit(false)))
-      .drop("bloom", "bucket")
+    val spark = candidates.sparkSession
+    val bucketMap = buckets.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val probe = new BloomProbe(spark.sparkContext.broadcast(bucketMap), numBuckets)
+    val maybeSeenUdf = udf((key: Long) => probe.maybeSeen(key))
+    val probed = candidates.withColumn("maybe_seen", maybeSeenUdf(col(keyCol)))
     val definitelyNew = probed.where(!col("maybe_seen")).drop("maybe_seen")
     val needConfirm = probed.where(col("maybe_seen")).drop("maybe_seen")
     val confirmedNew = needConfirm.join(

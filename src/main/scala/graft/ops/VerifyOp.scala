@@ -30,27 +30,50 @@ object VerifyOp {
     * Check selection mirrors `Check::all()` (verify.rs:52-75).
     */
   def checkRecords(records: DataFrame): DataFrame = {
+    // Materialize every header lookup ONCE into intermediate columns: the
+    // checks below reference each value several times, and re-inlining the
+    // array-lambda fieldGet per use would traverse the fields array ~60×
+    // per row (measured ~4× slower end-to-end). CollapseProject keeps
+    // non-cheap aliases used more than once, so these stay single-eval.
     val f = col("fields")
-    val recType = lower(fieldGet(f, "WARC-Type"))
-    val clen = fieldGet(f, "Content-Length")
-    val date = fieldGet(f, "WARC-Date")
-    val ctype = fieldGet(f, "Content-Type")
-    val uri = fieldGet(f, "WARC-Target-URI")
-    val ip = fieldGet(f, "WARC-IP-Address")
-    val truncated = fieldGet(f, "WARC-Truncated")
-    val filename = fieldGet(f, "WARC-Filename")
-    val segNum = fieldGet(f, "WARC-Segment-Number")
-    val segOrigin = fieldGet(f, "WARC-Segment-Origin-ID")
-    val segTotal = fieldGet(f, "WARC-Segment-Total-Length")
+    val staged = records.withColumns(Map(
+      "_rec_type" -> lower(fieldGet(f, "WARC-Type")),
+      "_clen" -> fieldGet(f, "Content-Length"),
+      "_date" -> fieldGet(f, "WARC-Date"),
+      "_ctype" -> fieldGet(f, "Content-Type"),
+      "_uri" -> fieldGet(f, "WARC-Target-URI"),
+      "_ip" -> fieldGet(f, "WARC-IP-Address"),
+      "_truncated" -> fieldGet(f, "WARC-Truncated"),
+      "_filename" -> fieldGet(f, "WARC-Filename"),
+      "_seg_num" -> fieldGet(f, "WARC-Segment-Number"),
+      "_seg_origin" -> fieldGet(f, "WARC-Segment-Origin-ID"),
+      "_seg_total" -> fieldGet(f, "WARC-Segment-Total-Length"),
+      "_has_type" -> fieldContains(f, "WARC-Type"),
+      "_has_concurrent" -> fieldContains(f, "WARC-Concurrent-To"),
+      "_has_refers" -> fieldContains(f, "WARC-Refers-To")
+    ))
+    val recType = col("_rec_type")
+    val clen = col("_clen")
+    val date = col("_date")
+    val ctype = col("_ctype")
+    val uri = col("_uri")
+    val ip = col("_ip")
+    val truncated = col("_truncated")
+    val filename = col("_filename")
+    val segNum = col("_seg_num")
+    val segOrigin = col("_seg_origin")
+    val segTotal = col("_seg_total")
 
     def isType(ts: String*): Column = recType.isin(ts: _*)
 
     // MandatoryFields (verify.rs:414-437)
-    val mandatory = Seq("WARC-Record-ID", "Content-Length", "WARC-Date", "WARC-Type").map { n =>
-      problem(!fieldContains(f, n), "missing_mandatory_field", n)
-    }
+    val mandatory = Seq(
+      problem(!fieldContains(f, "WARC-Record-ID"), "missing_mandatory_field", "WARC-Record-ID"),
+      problem(clen.isNull, "missing_mandatory_field", "Content-Length"),
+      problem(date.isNull, "missing_mandatory_field", "WARC-Date"),
+      problem(!col("_has_type"), "missing_mandatory_field", "WARC-Type"))
     val checks: Seq[Column] = mandatory ++ Seq(
-      problem(fieldContains(f, "WARC-Type") && !recType.isin(KnownTypes: _*),
+      problem(col("_has_type") && !recType.isin(KnownTypes: _*),
         "unknown_record_type", recType),
       problem(clen.isNotNull && !clen.rlike("^[0-9]+$"), "invalid_content_length", clen),
       problem(date.isNotNull &&
@@ -60,7 +83,7 @@ object VerifyOp {
       // ContentType: media-type must parse (verify.rs:439-445)
       problem(ctype.isNotNull && !mediaType(ctype).getField("ok"), "invalid_content_type", ctype),
       // ConcurrentTo prohibited on warcinfo/conversion/continuation (447-468)
-      problem(fieldContains(f, "WARC-Concurrent-To") &&
+      problem(col("_has_concurrent") &&
         isType("warcinfo", "conversion", "continuation"),
         "prohibited_field", "WARC-Concurrent-To"),
       // IpAddress prohibited + must parse (470-480)
@@ -68,7 +91,7 @@ object VerifyOp {
         "prohibited_field", "WARC-IP-Address"),
       problem(ip.isNotNull && !(ipParses(ip)), "invalid_ip_address", ip),
       // RefersTo prohibited on 5 types (482-508)
-      problem(fieldContains(f, "WARC-Refers-To") &&
+      problem(col("_has_refers") &&
         isType("warcinfo", "response", "resource", "request", "continuation"),
         "prohibited_field", "WARC-Refers-To"),
       // TargetUri: prohibited on warcinfo; required on 6 types; <> = bad spec (552-581)
@@ -92,8 +115,9 @@ object VerifyOp {
       problem(!isType("continuation") && segTotal.isNotNull,
         "prohibited_field", "WARC-Segment-Total-Length")
     )
-    records.withColumn("problems",
-      filter(array(checks: _*), p => p.isNotNull))
+    staged
+      .withColumn("problems", filter(array(checks: _*), p => p.isNotNull))
+      .drop(staged.columns.filter(_.startsWith("_")): _*)
   }
 
   /** Explode to a Problem dataset (position, record_id, kind, detail). */
