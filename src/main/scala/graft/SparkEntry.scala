@@ -547,6 +547,29 @@ object SparkEntry {
       Multimodal.phashNearDupPairs(all, 4)
     }),
 
+    // S1/S2/S5: real WARC file source/sink — encode 100 seeded records as
+    // record-at-time gzip members, read back via binaryFile + byte codec,
+    // check exact boundary offsets + declared sha1 block digests
+    // (the reference's own integration oracle, tests/test_decode.rs:77-78)
+    "q47_warc_source" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-warc-q").toString
+      val recs = graft.synth.Synth.warcRecords(round = 0, n = 100)
+      val expected = recs.map(r => r.position -> r).toMap
+      graft.sources.WarcSource.write(s.createDataset(recs).coalesce(1), dir, gzip = true)
+      val digestOk = udf { (declared: String, bytes: Array[Byte]) =>
+        Digests.computeText("sha1", bytes).contains(declared)
+      }
+      val offsetOk = udf { (pos: Long, nBytes: Int) =>
+        expected.get(pos).exists(_.bytes.length == nBytes)
+      }
+      graft.sources.WarcSource.read(s, s"$dir/*.warc.gz").toDF()
+        .select(col("position"),
+          offsetOk(col("position"), length(col("bytes")).cast("int")).as("offset_ok"),
+          digestOk(FieldOps.fieldGet(col("fields"), "WARC-Block-Digest"),
+            col("bytes")).as("digest_ok"))
+    }),
+
     // Multimodal plumbing: decode→meta equality + stub feature extraction
     "q46_media_meta" -> ((s, _) =>
       Synth.images(s, 120).toDF()

@@ -63,9 +63,12 @@ object Scheduler {
         SeenSet.probeAndConfirm(canon, seenKeys, "url_key", buckets, numBloomBuckets)
       }
     val polite = Politeness.applyRobots(fresh, robots)
-    val scheduled = Politeness.schedule(
-      polite.repartitionByRange(col("priority_band"), col("host_hash")))
+    // window first (its own hash shuffle on host), THEN the output range
+    // layout — range-partitioning before the window would be a wasted
+    // shuffle since Window.partitionBy(host) redistributes anyway
+    val scheduled = Politeness.schedule(polite)
     Politeness.fetchBatches(scheduled, perHostBudget)
+      .repartitionByRange(col("priority_band"), col("host_hash"))
       .sortWithinPartitions("priority_band", "scheduled_ms", "host_hash", "canonical_url")
   }
 
