@@ -1,15 +1,21 @@
 package graft.ops
 
+import graft.core.Field
 import graft.core.FieldOps._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-/** The verify rule engine (reference src/verify.rs): per-record checks
-  * compile to ONE `select` producing an array<struct(kind, detail)> that
-  * Catalyst fuses into a single codegen stage; cross-record checks are the
-  * two joins the reference hides in redb cursor batches:
-  * reference-integrity LEFT ANTI (J1, verify.rs:230-264) and segment
-  * reassembly aggregation (J2, verify.rs:266-319).
+import java.util.regex.Pattern
+
+/** One element of the per-record problems array. */
+final case class ProblemKD(kind: String, detail: String)
+
+/** The verify rule engine (reference src/verify.rs): per-record checks run
+  * as ONE single-pass scalar function over the header multimap (see the
+  * note on [[VerifyOp.checkFields]] for why not per-check Columns);
+  * cross-record checks are the two joins the reference hides in redb
+  * cursor batches: reference-integrity LEFT ANTI (J1, verify.rs:230-264)
+  * and segment reassembly aggregation (J2, verify.rs:266-319).
   *
   * Problem kinds mirror verify.rs:77-110 (snake_cased).
   */
@@ -19,106 +25,121 @@ object VerifyOp {
     "warcinfo", "response", "resource", "request", "metadata",
     "revisit", "conversion", "continuation")
 
-  private def problem(cond: Column, kind: String, detail: Column): Column =
-    when(cond, struct(lit(kind).as("kind"), detail.as("detail")))
+  // ---- single-pass scalar rule engine ----------------------------------
+  // One traversal of the fields array per row, in plain JVM code. The
+  // all-Catalyst formulation (every check as a Column over higher-order
+  // field lookups) measured ~175µs/row: HOF lambdas are CodegenFallback
+  // (interpreted) and CollapseProject re-inlines each lookup per consumer
+  // (62 element_at(filter(...)) subtrees in the final plan). A narrow UDF
+  // keeps the identical rule semantics (oracle-checked in q31) at JVM
+  // speed; the surrounding plan (scan -> project -> explode) stays native.
 
-  private def problem(cond: Column, kind: String, detail: String): Column =
-    problem(cond, kind, lit(detail))
+  private val DatePattern = Pattern.compile(
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,9})?(Z|[+-]\\d{2}:\\d{2})$")
+  private val DigitsPattern = Pattern.compile("^[0-9]+$")
+  private val MediaTypePattern = Pattern.compile(
+    "^[!#$%&'*+.^_`|~0-9A-Za-z-]+/[!#$%&'*+.^_`|~0-9A-Za-z-]+(\\s*;.*)?$")
+  private val Ip4Pattern = Pattern.compile(
+    "^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$")
+  private val Ip6Pattern = Pattern.compile("^[0-9A-Fa-f:]+:[0-9A-Fa-f:]*$")
+  private val UriPattern = Pattern.compile("^[A-Za-z][A-Za-z0-9+.-]*:\\S*$")
+
+  private def dateParses(s: String): Boolean =
+    DatePattern.matcher(s).matches() && (try {
+      java.time.OffsetDateTime.parse(s); true
+    } catch { case _: java.time.format.DateTimeParseException => false })
+
+  /** The reference's per-record check set (verify.rs:358-412 dispatch over
+    * Check::all(), verify.rs:52-75) as a pure function over the ordered
+    * case-insensitive multimap. Returns (kind, detail) problems.
+    */
+  def checkFields(fields: Seq[Field]): Seq[(String, String)] = {
+    def get(n: String): Option[String] =
+      fields.find(_.name.equalsIgnoreCase(n)).map(_.value)
+    def has(n: String): Boolean = fields.exists(_.name.equalsIgnoreCase(n))
+
+    val recTypeOpt = get("WARC-Type").map(_.toLowerCase)
+    val recType = recTypeOpt.getOrElse("")
+    def isType(ts: String*): Boolean = ts.contains(recType)
+    val clen = get("Content-Length")
+    val date = get("WARC-Date")
+    val ctype = get("Content-Type")
+    val uri = get("WARC-Target-URI")
+    val ip = get("WARC-IP-Address")
+    val truncated = get("WARC-Truncated")
+    val filename = get("WARC-Filename")
+    val segNum = get("WARC-Segment-Number")
+    val segOrigin = get("WARC-Segment-Origin-ID")
+    val segTotal = get("WARC-Segment-Total-Length")
+
+    val out = Seq.newBuilder[(String, String)]
+    // MandatoryFields (verify.rs:414-437)
+    if (!has("WARC-Record-ID")) out += (("missing_mandatory_field", "WARC-Record-ID"))
+    if (clen.isEmpty) out += (("missing_mandatory_field", "Content-Length"))
+    if (date.isEmpty) out += (("missing_mandatory_field", "WARC-Date"))
+    if (recTypeOpt.isEmpty) out += (("missing_mandatory_field", "WARC-Type"))
+    if (recTypeOpt.isDefined && !KnownTypes.contains(recType))
+      out += (("unknown_record_type", recType))
+    clen.foreach(v =>
+      if (!DigitsPattern.matcher(v).matches()) out += (("invalid_content_length", v)))
+    date.foreach(v => if (!dateParses(v)) out += (("invalid_date", v)))
+    // ContentType: media-type must parse (verify.rs:439-445)
+    ctype.foreach(v =>
+      if (!MediaTypePattern.matcher(v).matches()) out += (("invalid_content_type", v)))
+    // ConcurrentTo prohibited on warcinfo/conversion/continuation (447-468)
+    if (has("WARC-Concurrent-To") && isType("warcinfo", "conversion", "continuation"))
+      out += (("prohibited_field", "WARC-Concurrent-To"))
+    // IpAddress prohibited + must parse (470-480)
+    ip.foreach { v =>
+      if (isType("warcinfo", "conversion", "continuation"))
+        out += (("prohibited_field", "WARC-IP-Address"))
+      if (!Ip4Pattern.matcher(v).matches() && !Ip6Pattern.matcher(v).matches())
+        out += (("invalid_ip_address", v))
+    }
+    // RefersTo prohibited on 5 types (482-508)
+    if (has("WARC-Refers-To") &&
+      isType("warcinfo", "response", "resource", "request", "continuation"))
+      out += (("prohibited_field", "WARC-Refers-To"))
+    // TargetUri: prohibited on warcinfo; required on 6 types; <> = bad spec (552-581)
+    uri match {
+      case Some(v) =>
+        if (isType("warcinfo")) out += (("prohibited_field", "WARC-Target-URI"))
+        if (v.startsWith("<") && v.endsWith(">")) out += (("bad_spec_uri", v))
+        else if (!v.startsWith("<") && !UriPattern.matcher(v).matches())
+          out += (("invalid_uri", v))
+      case None =>
+        if (isType("response", "resource", "request", "revisit",
+          "conversion", "continuation")) out += (("missing_target_uri", recType))
+    }
+    // Truncated reason whitelist (583-591)
+    truncated.foreach(v =>
+      if (!Seq("length", "time", "disconnect", "unspecified").contains(v.toLowerCase))
+        out += (("invalid_truncated_reason", v)))
+    // Filename only on warcinfo (612-618)
+    if (filename.isDefined && !isType("warcinfo"))
+      out += (("prohibited_field", "WARC-Filename"))
+    // Segment: continuation requires all three; others prohibit (631-726)
+    if (isType("continuation")) {
+      if (segNum.isEmpty) out += (("missing_segment_number", recType))
+      if (segOrigin.isEmpty) out += (("missing_segment_origin", recType))
+    } else {
+      if (segNum.exists(_ != "1")) out += (("prohibited_field", "WARC-Segment-Number"))
+      if (segTotal.isDefined) out += (("prohibited_field", "WARC-Segment-Total-Length"))
+    }
+    out.result()
+  }
+
+  private val checkFieldsUdf = udf { (fields: Seq[Row]) =>
+    checkFields(fields.map(r => Field(r.getString(0), r.getString(1))))
+      .map { case (k, d) => ProblemKD(k, d) }
+  }
 
   /** All per-record checks over a records DF(position, fields, ...).
     * Returns the input plus `problems: array<struct(kind, detail)>`.
     * Check selection mirrors `Check::all()` (verify.rs:52-75).
     */
-  def checkRecords(records: DataFrame): DataFrame = {
-    // Materialize every header lookup ONCE into intermediate columns: the
-    // checks below reference each value several times, and re-inlining the
-    // array-lambda fieldGet per use would traverse the fields array ~60×
-    // per row (measured ~4× slower end-to-end). CollapseProject keeps
-    // non-cheap aliases used more than once, so these stay single-eval.
-    val f = col("fields")
-    val staged = records.withColumns(Map(
-      "_rec_type" -> lower(fieldGet(f, "WARC-Type")),
-      "_clen" -> fieldGet(f, "Content-Length"),
-      "_date" -> fieldGet(f, "WARC-Date"),
-      "_ctype" -> fieldGet(f, "Content-Type"),
-      "_uri" -> fieldGet(f, "WARC-Target-URI"),
-      "_ip" -> fieldGet(f, "WARC-IP-Address"),
-      "_truncated" -> fieldGet(f, "WARC-Truncated"),
-      "_filename" -> fieldGet(f, "WARC-Filename"),
-      "_seg_num" -> fieldGet(f, "WARC-Segment-Number"),
-      "_seg_origin" -> fieldGet(f, "WARC-Segment-Origin-ID"),
-      "_seg_total" -> fieldGet(f, "WARC-Segment-Total-Length"),
-      "_has_type" -> fieldContains(f, "WARC-Type"),
-      "_has_concurrent" -> fieldContains(f, "WARC-Concurrent-To"),
-      "_has_refers" -> fieldContains(f, "WARC-Refers-To")
-    ))
-    val recType = col("_rec_type")
-    val clen = col("_clen")
-    val date = col("_date")
-    val ctype = col("_ctype")
-    val uri = col("_uri")
-    val ip = col("_ip")
-    val truncated = col("_truncated")
-    val filename = col("_filename")
-    val segNum = col("_seg_num")
-    val segOrigin = col("_seg_origin")
-    val segTotal = col("_seg_total")
-
-    def isType(ts: String*): Column = recType.isin(ts: _*)
-
-    // MandatoryFields (verify.rs:414-437)
-    val mandatory = Seq(
-      problem(!fieldContains(f, "WARC-Record-ID"), "missing_mandatory_field", "WARC-Record-ID"),
-      problem(clen.isNull, "missing_mandatory_field", "Content-Length"),
-      problem(date.isNull, "missing_mandatory_field", "WARC-Date"),
-      problem(!col("_has_type"), "missing_mandatory_field", "WARC-Type"))
-    val checks: Seq[Column] = mandatory ++ Seq(
-      problem(col("_has_type") && !recType.isin(KnownTypes: _*),
-        "unknown_record_type", recType),
-      problem(clen.isNotNull && !clen.rlike("^[0-9]+$"), "invalid_content_length", clen),
-      problem(date.isNotNull &&
-        try_to_timestamp(date, lit("yyyy-MM-dd'T'HH:mm:ssXXX")).isNull &&
-        try_to_timestamp(date, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")).isNull,
-        "invalid_date", date),
-      // ContentType: media-type must parse (verify.rs:439-445)
-      problem(ctype.isNotNull && !mediaType(ctype).getField("ok"), "invalid_content_type", ctype),
-      // ConcurrentTo prohibited on warcinfo/conversion/continuation (447-468)
-      problem(col("_has_concurrent") &&
-        isType("warcinfo", "conversion", "continuation"),
-        "prohibited_field", "WARC-Concurrent-To"),
-      // IpAddress prohibited + must parse (470-480)
-      problem(ip.isNotNull && isType("warcinfo", "conversion", "continuation"),
-        "prohibited_field", "WARC-IP-Address"),
-      problem(ip.isNotNull && !(ipParses(ip)), "invalid_ip_address", ip),
-      // RefersTo prohibited on 5 types (482-508)
-      problem(col("_has_refers") &&
-        isType("warcinfo", "response", "resource", "request", "continuation"),
-        "prohibited_field", "WARC-Refers-To"),
-      // TargetUri: prohibited on warcinfo; required on 6 types; <> = bad spec (552-581)
-      problem(uri.isNotNull && isType("warcinfo"), "prohibited_field", "WARC-Target-URI"),
-      problem(uri.isNull && isType("response", "resource", "request", "revisit",
-        "conversion", "continuation"), "missing_target_uri", recType),
-      problem(uri.isNotNull && uri.startsWith("<") && uri.endsWith(">"),
-        "bad_spec_uri", uri),
-      problem(uri.isNotNull && !uri.startsWith("<") && !urlParses(uri), "invalid_uri", uri),
-      // Truncated reason whitelist (583-591)
-      problem(truncated.isNotNull &&
-        !lower(truncated).isin("length", "time", "disconnect", "unspecified"),
-        "invalid_truncated_reason", truncated),
-      // Filename only on warcinfo (612-618)
-      problem(filename.isNotNull && !isType("warcinfo"), "prohibited_field", "WARC-Filename"),
-      // Segment: continuation requires all three; others prohibit (631-726)
-      problem(isType("continuation") && segNum.isNull, "missing_segment_number", recType),
-      problem(isType("continuation") && segOrigin.isNull, "missing_segment_origin", recType),
-      problem(!isType("continuation") && segNum.isNotNull && !(segNum === "1"),
-        "prohibited_field", "WARC-Segment-Number"),
-      problem(!isType("continuation") && segTotal.isNotNull,
-        "prohibited_field", "WARC-Segment-Total-Length")
-    )
-    staged
-      .withColumn("problems", filter(array(checks: _*), p => p.isNotNull))
-      .drop(staged.columns.filter(_.startsWith("_")): _*)
-  }
+  def checkRecords(records: DataFrame): DataFrame =
+    records.withColumn("problems", checkFieldsUdf(col("fields")))
 
   /** Explode to a Problem dataset (position, record_id, kind, detail). */
   def problems(records: DataFrame): DataFrame =

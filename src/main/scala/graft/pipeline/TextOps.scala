@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for training-data pipelines: token counting,
   * quality scoring, language-ID, fingerprinting, shingling.
   *
-  * All pure Catalyst column expressions (no UDFs) — whole-stage codegen,
-  * trivially pushed through scans, and embarrassingly parallel at 100 TB
-  * (narrow per-row transforms, zero shuffle).
+  * Narrow per-row transforms, zero shuffle — embarrassingly parallel at
+  * 100 TB. Catalyst column expressions except where a scalar pass is
+  * strictly faster (see [[shingles]]).
   *
   * Numeric outputs are integers (counts / milli-scaled floors) so results
   * are bit-exact across engines (oracle-friendly) — no float drift.
@@ -26,13 +26,19 @@ object TextOps {
   /** Distinct-token count. */
   def distinctTokenCount(text: Column): Column = size(array_distinct(words(text)))
 
-  /** Word n-gram shingles (space-joined); fewer than n words → empty. */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
-    ).otherwise(array().cast("array<string>"))
+  /** Word n-gram shingles (space-joined); fewer than n words → empty.
+    *
+    * Scalar sliding window over the tokenized array: the Column
+    * formulation (`transform(sequence(...), i -> element_at(ws, i+k))`)
+    * embeds the whole `split` subtree inside the lambda, so the regex
+    * tokenization re-ran per element — O(words²) per row, measured as the
+    * dominant cost of every shingle-based operator.
+    */
+  def shingles(text: Column, n: Int): Column = shinglesUdf(words(text), lit(n))
+
+  private val shinglesUdf = udf { (ws: Seq[String], n: Int) =>
+    if (ws == null || ws.size < n) Seq.empty[String]
+    else ws.iterator.sliding(n).withPartial(false).map(_.mkString(" ")).toSeq
   }
 
   /** Document fingerprint: md5 of whitespace-collapsed lowercased text.
