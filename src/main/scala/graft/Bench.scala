@@ -22,12 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
+  private def session(cores: Int, shufflePartitions: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -58,7 +58,7 @@ object Bench {
     val nHosts = 10000
 
     // ---- 1. per-query timings at full parallelism ----
-    var spark = session(cpus)
+    var spark = session(cpus, 2 * cpus)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = time {
         try fn(spark, sfDir).count()
@@ -75,12 +75,53 @@ object Bench {
       VerifyOp.problems(SparkEntry.dirtyRecordsFor(spark, sfDir)).count()
     }
     val recordsPerSec = nRecords / verifySec
-
-    // warm-up of the frontier job at full parallelism (JIT + codegen cache)
-    frontierRound(spark, frontierN / 4, nHosts)
-    val tExec = time(frontierRound(spark, frontierN, nHosts))
-    val scheduled = frontierRound(spark, frontierN, nHosts) // row count for tput
     spark.stop()
+
+    // Every throughput/scaling measurement below runs in its OWN JVM
+    // (graft.BenchRound spawned as a child process): a long-lived local
+    // JVM degrades measurably run-to-run (accumulated codegen classes,
+    // broadcast/GC pressure — an 8-core round measured 8.5s in a fresh
+    // JVM vs 92s as the 6th SparkContext of one JVM). Fixed 64 shuffle
+    // partitions so the work decomposition is identical and only the
+    // thread count varies (strong scaling).
+    val scaleParts = 64
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toList
+      val out = List.newBuilder[String]
+      var i = 0
+      while (i < in.length) {
+        val a = in(i)
+        if (a == "--add-opens" && i + 1 < in.length) {
+          out += a += in(i + 1); i += 2
+        } else {
+          if (a.startsWith("--add-opens=") || a.startsWith("-Xmx") || a.startsWith("-D"))
+            out += a
+          i += 1
+        }
+      }
+      out.result()
+    }
+    var scheduled = 0L
+    def measure(cores: Int): Double = {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchRound", cores.toString, frontierN.toString,
+        nHosts.toString, scaleParts.toString)
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes())
+      require(proc.waitFor() == 0, s"BenchRound failed:\n${out.takeRight(2000)}")
+      val m = "ROUND_SEC=([0-9.]+) ROUND_ROWS=([0-9]+)".r.findFirstMatchIn(out)
+        .getOrElse(sys.error(s"no ROUND_SEC in BenchRound output:\n${out.takeRight(500)}"))
+      scheduled = m.group(2).toLong
+      m.group(1).toDouble
+    }
+
+    val tExec = measure(cpus)
 
     // ---- 3. scaling: same job, same input, at N and 4N cores.
     // Pair defaults to 2→8: this single 32-core box saturates its shared
@@ -89,15 +130,8 @@ object Bench {
     // Both the N→4N pair and the full-width run are reported.
     val scaleLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val scaleHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "8").toInt
-    spark = session(scaleLow)
-    frontierRound(spark, frontierN / 4, nHosts) // warm this config
-    val tLow = time(frontierRound(spark, frontierN, nHosts))
-    spark.stop()
-
-    spark = session(scaleHigh)
-    frontierRound(spark, frontierN / 4, nHosts)
-    val tHigh = time(frontierRound(spark, frontierN, nHosts))
-    spark.stop()
+    val tLow = measure(scaleLow)
+    val tHigh = measure(scaleHigh)
 
     val ratio = scaleHigh.toDouble / scaleLow
     val efficiency = tLow / (ratio * tHigh)

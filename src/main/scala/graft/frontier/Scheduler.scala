@@ -63,12 +63,13 @@ object Scheduler {
         SeenSet.probeAndConfirm(canon, seenKeys, "url_key", buckets, numBloomBuckets)
       }
     val polite = Politeness.applyRobots(fresh, robots)
-    // window first (its own hash shuffle on host), THEN the output range
-    // layout — range-partitioning before the window would be a wasted
-    // shuffle since Window.partitionBy(host) redistributes anyway
-    val scheduled = Politeness.schedule(polite)
+    // range layout first, window second: measured consistently faster and
+    // more stable than window-then-range (the range sample runs over the
+    // cheap pre-window plan, and the window's hash shuffle then reads
+    // range-clustered hosts)
+    val scheduled = Politeness.schedule(
+      polite.repartitionByRange(col("priority_band"), col("host_hash")))
     Politeness.fetchBatches(scheduled, perHostBudget)
-      .repartitionByRange(col("priority_band"), col("host_hash"))
       .sortWithinPartitions("priority_band", "scheduled_ms", "host_hash", "canonical_url")
   }
 

@@ -27,12 +27,16 @@ object WarcBytes {
   val GzipMagic: Array[Byte] = Array(0x1f.toByte, 0x8b.toByte)
   val ZstdMagic: Array[Byte] = Array(0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte)
 
-  /** Magic detection (decode.rs:811-821): "warc" | "gzip" | "zstd" | "unknown". */
+  /** Magic detection (decode.rs:811-821): "warc" | "gzip" | "zstd" |
+    * "unknown". Zstd skippable frames (0x184D2A50..5F little-endian, incl.
+    * the dictionary frame 0x184D2A5D) also identify as zstd.
+    */
   def detectFormat(bytes: Array[Byte]): String =
     if (bytes.length >= 5 &&
       new String(bytes, 0, 5, StandardCharsets.US_ASCII) == "WARC/") "warc"
     else if (bytes.length >= 2 && bytes(0) == GzipMagic(0) && bytes(1) == GzipMagic(1)) "gzip"
     else if (bytes.length >= 4 && bytes.take(4).sameElements(ZstdMagic)) "zstd"
+    else if (bytes.length >= 4 && (readLe32(bytes, 0) & 0xfffffff0) == 0x184d2a50) "zstd"
     else "unknown"
 
   private val HeaderTerminator = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
@@ -153,6 +157,81 @@ object WarcBytes {
       pos += 8 // CRC32 + ISIZE
     }
     out.toByteArray
+  }
+
+  // ---- record-at-time zstd (one frame per record; dictionary in a
+  //      skippable frame, reference src/compress/zstd.rs:13-58) ----
+
+  /** The reference's dictionary skippable-frame magic (zstd.rs:13). */
+  val ZstdDictFrameMagic = 0x184d2a5d
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def readLe32(b: Array[Byte], pos: Int): Int =
+    (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
+      ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
+
+  /** Zstd-compress each record as its own frame; optional dictionary is
+    * written first inside skippable frame 0x184D2A5D (itself optionally
+    * zstd-compressed, like the reference's compressed-dictionary mode).
+    */
+  def encodeZstd(records: Seq[WarcRecord], level: Int = 3,
+                 dict: Option[Array[Byte]] = None,
+                 compressDict: Boolean = false): Array[Byte] = {
+    import com.github.luben.zstd.{Zstd, ZstdCompressCtx}
+    val out = new ByteArrayOutputStream()
+    dict.foreach { d =>
+      val payload = if (compressDict) Zstd.compress(d, level) else d
+      out.write(le32(ZstdDictFrameMagic))
+      out.write(le32(payload.length))
+      out.write(payload)
+    }
+    records.foreach { r =>
+      val ctx = new ZstdCompressCtx()
+      try {
+        ctx.setLevel(level)
+        dict.foreach(ctx.loadDict)
+        out.write(ctx.compress(encodeRecords(Seq(r))))
+      } finally ctx.close()
+    }
+    out.toByteArray
+  }
+
+  /** Decode concatenated zstd frames (dictionary skippable frame honored,
+    * compressed dictionaries auto-detected by magic, zstd.rs:38-52).
+    */
+  def decodeZstd(bytes: Array[Byte], file: String): Seq[WarcRecord] =
+    decodeRecords(unzstdConcatenated(bytes), file)
+
+  def unzstdConcatenated(bytes: Array[Byte]): Array[Byte] = {
+    import com.github.luben.zstd.{Zstd, ZstdInputStreamNoFinalizer}
+    var pos = 0
+    var dict: Option[Array[Byte]] = None
+    if (bytes.length >= 8 && readLe32(bytes, 0) == ZstdDictFrameMagic) {
+      val len = readLe32(bytes, 4)
+      require(8 + len <= bytes.length, "truncated zstd dictionary frame")
+      val payload = bytes.slice(8, 8 + len)
+      dict = Some(
+        if (payload.length >= 4 && payload.take(4).sameElements(ZstdMagic)) {
+          val size = Zstd.getFrameContentSize(payload)
+          require(size > 0, "compressed dictionary without content size")
+          Zstd.decompress(payload, size.toInt)
+        } else payload)
+      pos = 8 + len
+    }
+    val in = new ZstdInputStreamNoFinalizer(
+      new java.io.ByteArrayInputStream(bytes, pos, bytes.length - pos))
+    try {
+      in.setContinuous(true)
+      dict.foreach(in.setDict)
+      val out = new ByteArrayOutputStream(bytes.length * 3)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 
   /** Skip a gzip member header starting AFTER the 2 magic bytes; returns

@@ -33,6 +33,7 @@ object WarcSource {
         WarcBytes.detectFormat(bytes) match {
           case "warc" => WarcBytes.decodeRecords(bytes, path)
           case "gzip" => WarcBytes.decodeGzip(bytes, path)
+          case "zstd" => WarcBytes.decodeZstd(bytes, path)
           case other  => throw new IllegalArgumentException(s"$path: unsupported format $other")
         }
       }

@@ -40,6 +40,27 @@ class WarcCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("zstd members round-trip: plain, dict, and compressed dict " +
+    "(reference test matrix, test_decode.rs:13-52)") {
+    val records = Synth.warcRecords(round = 1, n = 40)
+    // raw-content dictionary: the first record's bytes (valid zstd dict)
+    val dict = records.head.bytes
+    val variants = Seq(
+      WarcBytes.encodeZstd(records),
+      WarcBytes.encodeZstd(records, dict = Some(dict)),
+      WarcBytes.encodeZstd(records, dict = Some(dict), compressDict = true))
+    variants.zipWithIndex.foreach { case (z, i) =>
+      assert(WarcBytes.detectFormat(z) == "zstd", s"variant $i")
+      val decoded = WarcBytes.decodeZstd(z, "synth.warc.zst")
+      assert(decoded.size == 40, s"variant $i")
+      decoded.zip(records).foreach { case (d, r) =>
+        assert(d.position == r.position)
+        assert(d.fields == r.fields)
+        assert(d.bytes.sameElements(r.bytes))
+      }
+    }
+  }
+
   test("decoded records verify clean: zero problems + block digests match") {
     val df = Synth.warcRecordsDf(spark, round = 0, n = 100)
     assert(VerifyOp.problems(df).isEmpty) // test_decode.rs:122-125 analog
