@@ -78,7 +78,8 @@ object SparkEntry {
       ).as("fields"))
 
   /** Dirty variant: injected problems (drop Content-Length %11, bad date
-    * %13, unknown type %17) + dangling WARC-Refers-To on metadata records.
+    * %13, unknown type %17, revisit-without-profile %19) + dangling
+    * WARC-Refers-To on metadata records.
     */
   private def derivedDirtyRecords(s: SparkSession, dir: String): DataFrame =
     ft(s, dir, "orders").select(
@@ -89,6 +90,7 @@ object SparkEntry {
         struct(lit("WARC-Record-ID").as("name"), recordId(col("o_orderkey")).as("value")),
         struct(lit("WARC-Type").as("name"),
           when(pmod(col("o_orderkey"), lit(17)) === 0, lit("bogus"))
+            .when(pmod(col("o_orderkey"), lit(19)) === 0, lit("revisit"))
             .otherwise(warcType).as("value")),
         when(pmod(col("o_orderkey"), lit(11)) =!= 0,
           struct(lit("Content-Length").as("name"),
@@ -890,7 +892,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, 'invalid_date', 'not-a-date' FROM orders WHERE o_orderkey % 13 = 0
         |UNION ALL
-        |SELECT o_orderkey, 'unknown_record_type', 'bogus' FROM orders WHERE o_orderkey % 17 = 0""".stripMargin,
+        |SELECT o_orderkey, 'unknown_record_type', 'bogus' FROM orders WHERE o_orderkey % 17 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'missing_profile', 'revisit' FROM orders
+        |WHERE o_orderkey % 19 = 0 AND o_orderkey % 17 <> 0""".stripMargin,
 
     "q32_missing_refs" ->
       """SELECT o_orderkey AS position,

@@ -111,6 +111,25 @@ object VerifyOp {
         if (isType("response", "resource", "request", "revisit",
           "conversion", "continuation")) out += (("missing_target_uri", recType))
     }
+    // RefersToTargetUri / RefersToDate only on revisit (510-550)
+    if (!isType("revisit")) {
+      if (has("WARC-Refers-To-Target-URI"))
+        out += (("prohibited_field", "WARC-Refers-To-Target-URI"))
+      if (has("WARC-Refers-To-Date"))
+        out += (("prohibited_field", "WARC-Refers-To-Date"))
+    } else {
+      get("WARC-Refers-To-Target-URI").foreach(v =>
+        if (!UriPattern.matcher(v).matches()) out += (("invalid_uri", v)))
+      get("WARC-Refers-To-Date").foreach(v =>
+        if (!dateParses(v)) out += (("invalid_date", v)))
+    }
+    // Profile: required on revisit; <>-wrapped = bad spec (620-629)
+    get("WARC-Profile") match {
+      case Some(v) =>
+        if (v.startsWith("<") && v.endsWith(">")) out += (("bad_spec_profile", v))
+      case None =>
+        if (isType("revisit")) out += (("missing_profile", recType))
+    }
     // Truncated reason whitelist (583-591)
     truncated.foreach(v =>
       if (!Seq("length", "time", "disconnect", "unspecified").contains(v.toLowerCase))
