@@ -121,17 +121,23 @@ object Bench {
       m.group(1).toDouble
     }
 
-    val tExec = measure(cpus)
-
     // ---- 3. scaling: same job, same input, at N and 4N cores.
     // Pair defaults to 2→8: this single 32-core box saturates its shared
     // memory bandwidth above ~8-16 threads (probed: 2→8 scales ~1.0,
     // 8→32 ~0.45 — a multi-node cluster adds bandwidth per node instead).
-    // Both the N→4N pair and the full-width run are reported.
+    // The host hypervisor is oversubscribed (CPU steal varies ±3× with
+    // zero in-VM load), so each config runs `trials` interleaved times
+    // and the MINIMUM is taken — min is robust to steal spikes and the
+    // interleaving removes drift bias between configs.
     val scaleLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val scaleHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "8").toInt
-    val tLow = measure(scaleLow)
-    val tHigh = measure(scaleHigh)
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    val runs = (1 to trials).map { _ =>
+      (measure(cpus), measure(scaleLow), measure(scaleHigh))
+    }
+    val tExec = runs.map(_._1).min
+    val tLow = runs.map(_._2).min
+    val tHigh = runs.map(_._3).min
 
     val ratio = scaleHigh.toDouble / scaleLow
     val efficiency = tLow / (ratio * tHigh)
