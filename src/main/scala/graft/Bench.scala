@@ -54,7 +54,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val frontierN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4000000").toInt
+    // 16M URLs: large enough that the ~2s fixed driver overhead (job
+    // scheduling, range sampling, AQE planning) stops distorting the
+    // strong-scaling ratio (Amdahl) — at 4M it capped efficiency at ~0.78
+    val frontierN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "16000000").toInt
     val nHosts = 10000
 
     // ---- 1. per-query timings at full parallelism ----
@@ -131,7 +134,7 @@ object Bench {
     // interleaving removes drift bias between configs.
     val scaleLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val scaleHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "8").toInt
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     val runs = (1 to trials).map { _ =>
       (measure(cpus), measure(scaleLow), measure(scaleHigh))
     }
