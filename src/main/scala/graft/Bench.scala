@@ -107,6 +107,11 @@ object Bench {
       out.result()
     }
     var scheduled = 0L
+    val trialLog = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
     def measure(cores: Int): Double = {
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
@@ -121,7 +126,9 @@ object Bench {
       val m = "ROUND_SEC=([0-9.]+) ROUND_ROWS=([0-9]+)".r.findFirstMatchIn(out)
         .getOrElse(sys.error(s"no ROUND_SEC in BenchRound output:\n${out.takeRight(500)}"))
       scheduled = m.group(2).toLong
-      m.group(1).toDouble
+      val sec = m.group(1).toDouble
+      trialLog += ((cores, sec, loadavg()))
+      sec
     }
 
     // ---- 3. scaling: same job, same input, at N and 4N cores.
@@ -147,6 +154,13 @@ object Bench {
 
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.US, d)
     val qs = queries.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    // per-trial raw numbers + host loadavg at measurement end: this microVM
+    // sits on an oversubscribed hypervisor (loadavg 6-9 with zero in-VM
+    // processes), so any single trial can be inflated ~3x by CPU steal —
+    // the log makes that externally attributable
+    val trialsJson = trialLog.map { case (c, s, l) =>
+      s"""{"cores":$c,"sec":${f(s)},"loadavg":${f(l)}}"""
+    }.mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${f(totalSec)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""headline":{"frontier_urls":$frontierN,"urls_scheduled":$scheduled,""" +
@@ -156,6 +170,6 @@ object Bench {
         s""""scaling":{"cores_low":$scaleLow,"cores_high":$scaleHigh,""" +
         s""""sec_low":${f(tLow)},"sec_high":${f(tHigh)},""" +
         s""""urls_per_sec_low":${f(frontierN / tLow)},"urls_per_sec_high":${f(frontierN / tHigh)},""" +
-        s""""efficiency":${f(efficiency)}}}""")
+        s""""efficiency":${f(efficiency)},"trials":$trialsJson}}""")
   }
 }

@@ -520,6 +520,17 @@ object SparkEntry {
           (md5(col("payload").cast("binary")) === col("payload_md5")).as("ok"))
     }),
 
+    // Revisit marking: duplicate payloads become revisit records
+    // referencing the first occurrence (identical-payload-digest profile);
+    // duplicates injected by construction
+    "q48_mark_revisits" -> ((s, dir) => {
+      val d = ft(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = d.unionByName(d.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.markRevisits(aug, "doc_id", "text")
+        .select(col("id"), col("kind"), col("refers_to"))
+    }),
+
     // ---- images-table ops (BASELINE.json input_hint; rows-only checks:
     // the table is engine-synthesized, so DuckDB has no oracle input) ----
 
@@ -991,6 +1002,20 @@ object SparkEntry {
          |FROM sched GROUP BY 1""".stripMargin,
 
     "q43_import_reject" ->
-      "SELECT doc_id AS id, (doc_id % 7 <> 0) AS ok FROM documents"
+      "SELECT doc_id AS id, (doc_id % 7 <> 0) AS ok FROM documents",
+
+    "q48_mark_revisits" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 3 = 0
+        |), k AS (
+        |  SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+        |  FROM aug
+        |)
+        |SELECT id,
+        | CASE WHEN id = keeper_id THEN 'response' ELSE 'revisit' END AS kind,
+        | CASE WHEN id <> keeper_id THEN keeper_id END AS refers_to
+        |FROM k""".stripMargin
   )
 }

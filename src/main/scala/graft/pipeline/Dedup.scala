@@ -24,6 +24,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Revisit marking (the reference's revisit record semantics,
+    * `identical-payload-digest` profile): per payload digest, the first
+    * record (min id) stays a full record; every later duplicate becomes a
+    * `revisit` referring to it — the crawl-side dedupe that turns
+    * re-fetched content into digest-only records. One hash-partitioned
+    * window; payload bytes never join.
+    */
+  def markRevisits(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+    df.select(col(idCol).as("id"), md5(col(payloadCol)).as("fp"))
+      .withColumn("keeper_id", min(col("id")).over(w))
+      .select(col("id"),
+        when(col("id") === col("keeper_id"), "response").otherwise("revisit").as("kind"),
+        when(col("id") =!= col("keeper_id"), col("keeper_id")).as("refers_to"),
+        col("fp"))
+  }
+
   /** MinHash signature: for each salt i, the lexicographic min of
     * md5(i + "|" + shingle) over the document's word-3-gram shingles.
     * Null signature when the doc has no shingle (shorter than 3 words).
