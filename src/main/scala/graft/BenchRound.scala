@@ -36,7 +36,10 @@ object BenchRound {
     val t0 = System.nanoTime()
     val scheduled = round(n)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"ROUND_SEC=$sec%.4f ROUND_ROWS=$scheduled")
+    // Locale.US: a comma-decimal default locale would break the parent's
+    // "[0-9.]+" match and abort the whole bench
+    println("ROUND_SEC=%.4f ROUND_ROWS=%d"
+      .formatLocal(java.util.Locale.US, sec, scheduled))
     spark.stop()
   }
 }

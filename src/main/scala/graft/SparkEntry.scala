@@ -531,25 +531,28 @@ object SparkEntry {
         .select(col("id"), col("kind"), col("refers_to"))
     }),
 
-    // ---- images-table ops (BASELINE.json input_hint; rows-only checks:
-    // the table is engine-synthesized, so DuckDB has no oracle input) ----
+    // ---- images-table ops (BASELINE.json input_hint). The table is
+    // engine-synthesized, so the DuckDB oracles gate the DECISIONS (pass
+    // flags keyed on deterministic id-index injections), not raw pixels ----
 
     // Fidelity gate (PSNR≥40dB lossy / byte-exact lossless + caption
-    // equality): corrupted rows MUST be caught — output is the problem set
+    // equality): every 5th image pixel-corrupted, every 7th caption
+    // swapped — the flags must match the injection pattern exactly
     "q44_images_fidelity" -> ((s, _) => {
       val imgs = Synth.images(s, 120).toDF()
+      val idx = substring(col("image_id"), 5, 8).cast("int")
       val bad = imgs
         .withColumn("bytes",
-          when(pmod(xxhash64(col("image_id")), lit(5)) === 0,
+          when(pmod(idx, lit(5)) === 0,
             Multimodal.corruptPixelsUdf(col("bytes"), col("fmt"))).otherwise(col("bytes")))
         .withColumn("caption",
-          when(pmod(xxhash64(col("image_id")), lit(7)) === 0, lit("WRONG"))
-            .otherwise(col("caption")))
-      Multimodal.fidelityProblems(imgs, bad)
+          when(pmod(idx, lit(7)) === 0, lit("WRONG")).otherwise(col("caption")))
+      Multimodal.fidelityFlags(imgs, bad)
         .select(col("image_id"), col("pixel_ok"), col("caption_ok"))
     }),
 
-    // Multimodal dedup: banded-LSH phash near-dup (resized copies collide)
+    // Multimodal dedup: banded-LSH phash near-dup — every original must
+    // recall its resized copy through the band join (recall gate)
     "q45_phash_neardup" -> ((s, _) => {
       val imgs = Synth.images(s, 120).toDF().select(col("image_id"), col("bytes"), col("fmt"))
       val shrunk = imgs.select(
@@ -557,30 +560,50 @@ object SparkEntry {
         Multimodal.resizeUdf(col("bytes"), lit(24), lit(24), col("fmt")).as("bytes"))
       val all = imgs.select(col("image_id"), col("bytes")).unionByName(shrunk)
         .select(col("image_id"), Multimodal.phashUdf(col("bytes")).as("phash"))
-      Multimodal.phashNearDupPairs(all, 4)
+      val hits = Multimodal.phashNearDupPairs(all, 6)
+        .where(col("id_b") === concat(col("id_a"), lit("-small")))
+        .select(col("id_a"), lit(true).as("hit"))
+      imgs.select(col("image_id"))
+        .join(hits, col("image_id") === col("id_a"), "left")
+        .select(col("image_id"), coalesce(col("hit"), lit(false)).as("has_small_dup"))
     }),
 
-    // S1/S2/S5: real WARC file source/sink — encode 100 seeded records as
-    // record-at-time gzip members, read back via binaryFile + byte codec,
-    // check exact boundary offsets + declared sha1 block digests
-    // (the reference's own integration oracle, tests/test_decode.rs:77-78)
+    // S1/S2/S5 + §2.10 RecordAtTimeCompression: real WARC source/sink —
+    // encode 100 seeded records as record-at-time gzip members (every 9th
+    // with a deliberately wrong declared block digest), read back via the
+    // streaming byte codec, check exact boundary offsets + digest compare
+    // + the whole-file record-at-time flag (the reference's own
+    // integration oracle, tests/test_decode.rs:77-78; decode.rs:700-711)
     "q47_warc_source" -> ((s, _) => {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-warc-q").toString
       val recs = graft.synth.Synth.warcRecords(round = 0, n = 100)
-      val expected = recs.map(r => r.position -> r).toMap
-      graft.sources.WarcSource.write(s.createDataset(recs).coalesce(1), dir, gzip = true)
+      val written = recs.zipWithIndex.map { case (r, i) =>
+        if (i % 9 == 0) r.copy(fields = r.fields.map { f =>
+          if (f.name == "WARC-Block-Digest")
+            f.copy(value = Digests.formatDigest("sha1",
+              Digests.compute("sha1", r.bytes :+ 0x00.toByte).get))
+          else f
+        })
+        else r
+      }
+      val expectedPos = recs.zipWithIndex.map { case (r, i) => i.toLong -> r.position }.toMap
+      graft.sources.WarcSource.write(s.createDataset(written).coalesce(1), dir, gzip = true)
+      val posB = s.sparkContext.broadcast(expectedPos)
+      val offsetOk = udf { (idx: Long, pos: Long) => posB.value.get(idx).contains(pos) }
       val digestOk = udf { (declared: String, bytes: Array[Byte]) =>
         Digests.computeText("sha1", bytes).contains(declared)
       }
-      val offsetOk = udf { (pos: Long, nBytes: Int) =>
-        expected.get(pos).exists(_.bytes.length == nBytes)
-      }
-      graft.sources.WarcSource.read(s, s"$dir/*.warc.gz").toDF()
-        .select(col("position"),
-          offsetOk(col("position"), length(col("bytes")).cast("int")).as("offset_ok"),
+      val idxCol = regexp_extract(
+        FieldOps.fieldGet(col("fields"), "WARC-Record-ID"), "-([0-9]{8})>$", 1).cast("long")
+      val ratOk = graft.sources.WarcSource.fileStats(s, dir)
+        .agg((count(lit(1)) === sum(col("rat_ok").cast("int"))).as("rat_ok"))
+      graft.sources.WarcSource.read(s, dir).toDF()
+        .select(idxCol.as("record_idx"),
+          offsetOk(idxCol, col("position")).as("offset_ok"),
           digestOk(FieldOps.fieldGet(col("fields"), "WARC-Block-Digest"),
             col("bytes")).as("digest_ok"))
+        .crossJoin(broadcast(ratOk))
     }),
 
     // Multimodal plumbing: decode→meta equality + stub feature extraction
@@ -705,17 +728,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey AS position, 'b' AS src FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
+    // DuckDB SUM(BIGINT) widens to HUGEINT (pandas float64) — CAST back to
+    // BIGINT so the hash compare sees the same int64 Spark emits
     "q05_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
-        | SUM(CAST(round(l_quantity*100, 0) AS BIGINT)) AS sum_qty_c,
-        | SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sum_price_c,
+        | CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_price_c,
         | COUNT(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q06_join_broadcast" ->
       """SELECT c_mktsegment,
         | COUNT(*) AS n_orders,
-        | SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS sum_price_c
+        | CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
 
@@ -1003,6 +1028,29 @@ object SparkEntry {
 
     "q43_import_reject" ->
       "SELECT doc_id AS id, (doc_id % 7 <> 0) AS ok FROM documents",
+
+    // q44–q47 inputs are engine-synthesized; the oracles gate the DECISION
+    // COLUMNS against the deterministic id-index injection patterns
+    "q44_images_fidelity" ->
+      """SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        | (i % 5 <> 0) AS pixel_ok, (i % 7 <> 0) AS caption_ok
+        |FROM range(0, 120) t(i)""".stripMargin,
+
+    "q45_phash_neardup" ->
+      """SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        | true AS has_small_dup
+        |FROM range(0, 120) t(i)""".stripMargin,
+
+    "q46_media_meta" ->
+      """SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        | CASE CAST(i % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+        | true AS meta_ok, CAST(16 AS BIGINT) AS n_feat
+        |FROM range(0, 120) t(i)""".stripMargin,
+
+    "q47_warc_source" ->
+      """SELECT CAST(i AS BIGINT) AS record_idx, true AS offset_ok,
+        | (i % 9 <> 0) AS digest_ok, true AS rat_ok
+        |FROM range(0, 100) t(i)""".stripMargin,
 
     "q48_mark_revisits" ->
       """WITH aug AS (

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *   - canonicalization is narrow (zero shuffle);
   *   - dedupe shuffles on url_key once (bloom prefilter shrinks the probe
   *     side first);
-  *   - the frontier is range-partitioned by (priority_band, host_hash) so
-  *     each output partition owns whole hosts — politeness windows are
-  *     partition-local and hot hosts can't straddle partitions;
+  *   - the politeness window hash-partitions on host, so each output
+  *     partition owns whole hosts — scheduling is partition-local and hot
+  *     hosts can't straddle partitions (no separate range exchange; a
+  *     range write layout is applied at the sink when needed);
   *   - host-level aggregates use two-phase salted aggregation
   *     ([[saltedHostCounts]]) so a hot host can't skew a single reducer;
   *   - robots is broadcast (host-cardinality).
@@ -49,9 +50,12 @@ object Scheduler {
   }
 
   /** One full scheduling round. `seenKeys` may be empty (first round).
-    * Returns the batch-ready frontier, range-partitioned by
-    * (priority_band, host_hash) and sorted within partitions — a
-    * deterministic total order reproducible at any parallelism.
+    * Returns the batch-ready frontier, hash-partitioned by host (whole
+    * hosts per partition) and sorted within partitions by
+    * (priority_band, scheduled_ms, host_hash, canonical_url). Row CONTENT
+    * (host_seq, scheduled_ms, batch_id) is a deterministic function of the
+    * input at any parallelism; only the partition file layout varies with
+    * the partition count.
     */
   def runRound(rawFrontier: DataFrame, seenKeys: DataFrame, robots: DataFrame,
                perHostBudget: Int = 100, numBloomBuckets: Int = 64): DataFrame = {
@@ -63,12 +67,15 @@ object Scheduler {
         SeenSet.probeAndConfirm(canon, seenKeys, "url_key", buckets, numBloomBuckets)
       }
     val polite = Politeness.applyRobots(fresh, robots)
-    // range layout first, window second: measured consistently faster and
-    // more stable than window-then-range (the range sample runs over the
-    // cheap pre-window plan, and the window's hash shuffle then reads
-    // range-clustered hosts)
-    val scheduled = Politeness.schedule(
-      polite.repartitionByRange(col("priority_band"), col("host_hash")))
+    // ONE exchange feeds the politeness window: the window's own
+    // hash-partitioning on host already makes scheduling partition-local
+    // and keeps whole hosts together (a pre-window repartitionByRange
+    // added a full extra shuffle whose layout the window immediately
+    // destroyed — measured and removed in round 2). Final layout is
+    // hash(host)-partitioned with a deterministic within-partition sort;
+    // a range layout for writes is one .repartitionByRange away when a
+    // sink needs it.
+    val scheduled = Politeness.schedule(polite)
     Politeness.fetchBatches(scheduled, perHostBudget)
       .sortWithinPartitions("priority_band", "scheduled_ms", "host_hash", "canonical_url")
   }

@@ -199,9 +199,9 @@ object Multimodal {
 
   /** Per-row fidelity gate between two image tables (BASELINE.json
     * invariant): PSNR ≥ 40 dB for lossy formats, exact bytes for
-    * lossless, caption equality. Returns rows that FAIL.
+    * lossless, caption equality. One row per image with pass flags.
     */
-  def fidelityProblems(a: DataFrame, b: DataFrame): DataFrame = {
+  def fidelityFlags(a: DataFrame, b: DataFrame): DataFrame = {
     val l = a.select(col("image_id"), col("bytes").as("bytes_a"),
       col("fmt"), col("caption").as("caption_a"))
     val r = b.select(col("image_id"), col("bytes").as("bytes_b"),
@@ -212,7 +212,10 @@ object Multimodal {
         when(col("fmt") === "jpeg", col("psnr") >= 40.0)
           .otherwise(col("bytes_a") === col("bytes_b")))
       .withColumn("caption_ok", col("caption_a") === col("caption_b"))
-      .where(!col("pixel_ok") || !col("caption_ok"))
       .select(col("image_id"), col("psnr"), col("pixel_ok"), col("caption_ok"))
   }
+
+  /** Rows that FAIL the fidelity gate. */
+  def fidelityProblems(a: DataFrame, b: DataFrame): DataFrame =
+    fidelityFlags(a, b).where(!col("pixel_ok") || !col("caption_ok"))
 }

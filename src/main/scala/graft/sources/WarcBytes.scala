@@ -41,48 +41,212 @@ object WarcBytes {
 
   private val HeaderTerminator = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
 
-  private def indexOfSeq(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
-    var i = from
-    while (i + needle.length <= hay.length) {
-      var j = 0
-      while (j < needle.length && hay(i + j) == needle(j)) j += 1
-      if (j == needle.length) return i
-      i += 1
+  /** Max header size guard — the reference caps header scan at 32 KiB
+    * (decode.rs:15); beyond it the input is malformed, not "need more".
+    */
+  val MaxHeaderLen = 32768
+
+  /** Incremental record framer: append decompressed chunks, pull complete
+    * records. Memory is bounded by one record + one appended chunk — the
+    * Spark-side analog of the reference's bounded-buffer push decoder
+    * (decode.rs:383-801). `position` = offset in the uncompressed stream.
+    */
+  final class RecordParser(file: String) {
+    private var buf = new Array[Byte](64 * 1024)
+    private var len = 0
+    private var base = 0L // uncompressed offset of buf(0)
+    private val ready = scala.collection.mutable.Queue.empty[WarcRecord]
+    /** Total records framed so far (valid mid-stream). */
+    var recordsParsed: Long = 0L
+
+    def append(chunk: Array[Byte], off: Int, n: Int): Unit = {
+      if (len + n > buf.length) {
+        val grown = new Array[Byte](math.max(buf.length * 2, len + n))
+        System.arraycopy(buf, 0, grown, 0, len)
+        buf = grown
+      }
+      System.arraycopy(chunk, off, buf, len, n)
+      len += n
+      drain()
     }
-    -1
+
+    def next(): Option[WarcRecord] =
+      if (ready.nonEmpty) Some(ready.dequeue()) else None
+
+    /** True when no partial record is buffered and nothing is queued —
+      * i.e. the stream sits exactly on a record boundary.
+      */
+    def atRecordBoundary: Boolean = len == 0
+
+    /** End of stream: any leftover bytes are a framing error. */
+    def finish(): Unit =
+      require(len == 0, s"truncated block at offset $base")
+
+    private def indexOfTerminator(limit: Int): Int = {
+      var i = 0
+      while (i + 4 <= limit) {
+        if (buf(i) == '\r' && buf(i + 1) == '\n' && buf(i + 2) == '\r' && buf(i + 3) == '\n')
+          return i
+        i += 1
+      }
+      -1
+    }
+
+    private def drain(): Unit = {
+      var progress = true
+      while (progress) {
+        progress = false
+        val headerEnd = indexOfTerminator(len)
+        if (headerEnd < 0) {
+          require(len <= MaxHeaderLen + 4, s"missing header terminator at offset $base")
+        } else {
+          val headerBytes = java.util.Arrays.copyOfRange(buf, 0, headerEnd + 4)
+          val (version, fields) = HeaderSerde.parse(headerBytes)
+            .getOrElse(throw new IllegalArgumentException(s"bad header at offset $base"))
+          val lenStr = fields.find(_.name.equalsIgnoreCase("Content-Length")).map(_.value)
+            .getOrElse(throw new IllegalArgumentException(s"no Content-Length at offset $base"))
+          require(lenStr.nonEmpty && lenStr.length <= 18 && lenStr.forall(_.isDigit),
+            s"bad Content-Length '$lenStr' at offset $base")
+          val blockLenL = lenStr.toLong
+          // i32 guard (a declared length >= 2^31 must error, never wrap)
+          require(blockLenL <= Int.MaxValue - 8L,
+            s"Content-Length $blockLenL exceeds supported block size at offset $base")
+          val blockLen = blockLenL.toInt
+          val blockStart = headerEnd + 4
+          if (blockStart + blockLen + 4 <= len) {
+            val block = java.util.Arrays.copyOfRange(buf, blockStart, blockStart + blockLen)
+            var t = 0
+            while (t < 4) {
+              require(buf(blockStart + blockLen + t) == HeaderTerminator(t),
+                s"missing record terminator at offset ${base + blockStart + blockLen}")
+              t += 1
+            }
+            ready += WarcRecord(base, file, version, fields, block)
+            recordsParsed += 1
+            val consumed = blockStart + blockLen + 4
+            System.arraycopy(buf, consumed, buf, 0, len - consumed)
+            len -= consumed
+            base += consumed
+            progress = true
+          }
+          // else: need more input for the block
+        }
+      }
+    }
+  }
+
+  /** Streaming decoder for one WARC file (plain / record-at-time gzip /
+    * zstd, auto-detected like detect_header, decode.rs:811-821). Gzip is
+    * inflated ONE member at a time and zstd is streamed in 64 KiB chunks,
+    * so peak memory is one record + one chunk — never the decompressed
+    * file (the reference's own bounded-memory contract, io.rs:4).
+    *
+    * `recordAtTimeOk` (valid once exhausted) is the RecordAtTimeCompression
+    * verify flag (decode.rs:700-711, surfaced app/verify.rs:79-82): for
+    * concatenation-capable formats (gzip here), every member must contain
+    * exactly one record ending on a member boundary. Plain files are
+    * trivially ok; the zstd path streams across frames and is not checked.
+    */
+  final class WarcFileDecoder(bytes: Array[Byte], file: String)
+      extends Iterator[WarcRecord] {
+    private val format = detectFormat(bytes)
+    private val parser = new RecordParser(file)
+    private var ratFault = false
+    private var pos = 0 // compressed cursor (gzip member loop / plain feed)
+    private var pending: Option[WarcRecord] = None
+    private var finished = false
+    private lazy val zstdIn: java.io.InputStream = {
+      val (dict, start) = zstdDictFrame(bytes)
+      val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+        new java.io.ByteArrayInputStream(bytes, start, bytes.length - start))
+      in.setContinuous(true)
+      dict.foreach(in.setDict)
+      in
+    }
+    private val chunk = new Array[Byte](65536)
+
+    def recordAtTimeOk: Boolean = !ratFault
+
+    override def hasNext: Boolean = {
+      while (pending.isEmpty && !finished) {
+        parser.next() match {
+          case some @ Some(_) => pending = some
+          case None           => feedMore()
+        }
+      }
+      pending.nonEmpty
+    }
+
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+      val r = pending.get
+      pending = None
+      r
+    }
+
+    /** Feed the parser more decompressed bytes, or mark end-of-stream. */
+    private def feedMore(): Unit = format match {
+      case "warc" =>
+        if (pos >= bytes.length) { parser.finish(); finished = true }
+        else {
+          val n = math.min(chunk.length, bytes.length - pos)
+          parser.append(bytes, pos, n)
+          pos += n
+        }
+      case "gzip" =>
+        if (pos >= bytes.length) { parser.finish(); finished = true }
+        else {
+          val before = parser.recordsParsed
+          pos = inflateMember(bytes, pos, parser)
+          // record-at-time contract: one record per member, boundary-aligned
+          if (!(parser.atRecordBoundary && parser.recordsParsed == before + 1))
+            ratFault = true
+        }
+      case "zstd" =>
+        val n = zstdIn.read(chunk)
+        if (n < 0) { zstdIn.close(); parser.finish(); finished = true }
+        else if (n > 0) parser.append(chunk, 0, n)
+      case other =>
+        throw new IllegalArgumentException(s"$file: unsupported format $other")
+    }
+  }
+
+  /** Inflate exactly one gzip member starting at `pos`, streaming 64 KiB
+    * chunks into `parser`; returns the offset just past the member's
+    * trailer (the reference's start_next_segment bookkeeping,
+    * compress.rs:174-196, decode.rs:733-753).
+    */
+  private def inflateMember(bytes: Array[Byte], pos0: Int, parser: RecordParser): Int = {
+    require(pos0 + 2 <= bytes.length &&
+      bytes(pos0) == GzipMagic(0) && bytes(pos0 + 1) == GzipMagic(1),
+      s"bad gzip magic at offset $pos0")
+    var pos = skipGzipHeader(bytes, pos0 + 2)
+    val inf = new Inflater(true)
+    try {
+      inf.setInput(bytes, pos, bytes.length - pos)
+      val buf = new Array[Byte](65536)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) parser.append(buf, 0, n)
+        else if (inf.needsInput()) throw new EOFException(s"truncated deflate data at $pos")
+      }
+      pos += inf.getBytesRead.toInt
+    } finally inf.end()
+    require(pos + 8 <= bytes.length, s"truncated gzip trailer at offset $pos")
+    pos + 8 // CRC32 + ISIZE
   }
 
   /** Decode a plain (uncompressed) WARC byte stream into records with
     * exact byte-offset positions. Malformed input throws
     * IllegalArgumentException with the byte offset (the decoder's
-    * typestate errors, decode.rs:217-303).
+    * typestate errors, decode.rs:217-303). Non-streaming convenience over
+    * [[RecordParser]] — [[WarcFileDecoder]] is the bounded-memory path.
     */
   def decodeRecords(bytes: Array[Byte], file: String): Seq[WarcRecord] = {
-    val out = Vector.newBuilder[WarcRecord]
-    var pos = 0
-    while (pos < bytes.length) {
-      val headerEnd = indexOfSeq(bytes, HeaderTerminator, pos)
-      require(headerEnd >= 0, s"missing header terminator at offset $pos")
-      // header INCLUDES one trailing CRLF (blank line), per serialize form
-      val headerBytes = bytes.slice(pos, headerEnd + 4)
-      val (version, fields) = HeaderSerde.parse(headerBytes)
-        .getOrElse(throw new IllegalArgumentException(s"bad header at offset $pos"))
-      val lenStr = fields.find(_.name.equalsIgnoreCase("Content-Length")).map(_.value)
-        .getOrElse(throw new IllegalArgumentException(s"no Content-Length at offset $pos"))
-      require(lenStr.forall(_.isDigit) && lenStr.nonEmpty,
-        s"bad Content-Length '$lenStr' at offset $pos")
-      val blockLen = lenStr.toLong.toInt
-      val blockStart = headerEnd + 4
-      require(blockStart + blockLen + 4 <= bytes.length,
-        s"truncated block at offset $pos")
-      val block = bytes.slice(blockStart, blockStart + blockLen)
-      val term = bytes.slice(blockStart + blockLen, blockStart + blockLen + 4)
-      require(term.sameElements(HeaderTerminator),
-        s"missing record terminator at offset ${blockStart + blockLen}")
-      out += WarcRecord(pos.toLong, file, version, fields, block)
-      pos = blockStart + blockLen + 4
-    }
-    out.result()
+    val p = new RecordParser(file)
+    p.append(bytes, 0, bytes.length)
+    p.finish()
+    Iterator.continually(p.next()).takeWhile(_.isDefined).flatten.toVector
   }
 
   /** Encode records back to WARC bytes (encode.rs:41-132): header +
@@ -122,12 +286,12 @@ object WarcBytes {
 
   /** Decode concatenated gzip members into the logical record stream.
     * Positions are offsets in the UNCOMPRESSED stream (what the logical
-    * record order keys on); `member_offset` consumers needing compressed
-    * offsets track the member starts below.
+    * record order keys on). Streams member-at-a-time via
+    * [[WarcFileDecoder]] — the whole decompressed file is never
+    * materialized.
     */
-  def decodeGzip(bytes: Array[Byte], file: String): Seq[WarcRecord] = {
-    decodeRecords(gunzipConcatenated(bytes), file)
-  }
+  def decodeGzip(bytes: Array[Byte], file: String): Seq[WarcRecord] =
+    new WarcFileDecoder(bytes, file).toVector
 
   /** Inflate ALL concatenated gzip members. Manual `Inflater` over the
     * byte array (GZIPInputStream can desync at member boundaries because
@@ -201,26 +365,35 @@ object WarcBytes {
 
   /** Decode concatenated zstd frames (dictionary skippable frame honored,
     * compressed dictionaries auto-detected by magic, zstd.rs:38-52).
+    * Streams in 64 KiB chunks via [[WarcFileDecoder]].
     */
   def decodeZstd(bytes: Array[Byte], file: String): Seq[WarcRecord] =
-    decodeRecords(unzstdConcatenated(bytes), file)
+    new WarcFileDecoder(bytes, file).toVector
 
-  def unzstdConcatenated(bytes: Array[Byte]): Array[Byte] = {
-    import com.github.luben.zstd.{Zstd, ZstdInputStreamNoFinalizer}
-    var pos = 0
-    var dict: Option[Array[Byte]] = None
+  /** Parse the optional leading dictionary skippable frame (zstd.rs:13-58):
+    * returns (dictionary, offset of the first content frame). A dictionary
+    * payload that itself starts with zstd magic is a COMPRESSED dictionary
+    * and is inflated first.
+    */
+  private[sources] def zstdDictFrame(bytes: Array[Byte]): (Option[Array[Byte]], Int) = {
+    import com.github.luben.zstd.Zstd
     if (bytes.length >= 8 && readLe32(bytes, 0) == ZstdDictFrameMagic) {
       val len = readLe32(bytes, 4)
       require(8 + len <= bytes.length, "truncated zstd dictionary frame")
       val payload = bytes.slice(8, 8 + len)
-      dict = Some(
+      val dict =
         if (payload.length >= 4 && payload.take(4).sameElements(ZstdMagic)) {
           val size = Zstd.getFrameContentSize(payload)
           require(size > 0, "compressed dictionary without content size")
           Zstd.decompress(payload, size.toInt)
-        } else payload)
-      pos = 8 + len
-    }
+        } else payload
+      (Some(dict), 8 + len)
+    } else (None, 0)
+  }
+
+  def unzstdConcatenated(bytes: Array[Byte]): Array[Byte] = {
+    import com.github.luben.zstd.ZstdInputStreamNoFinalizer
+    val (dict, pos) = zstdDictFrame(bytes)
     val in = new ZstdInputStreamNoFinalizer(
       new java.io.ByteArrayInputStream(bytes, pos, bytes.length - pos))
     try {

@@ -4,57 +4,95 @@ import graft.core.WarcRecord
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.util.zip.Deflater
+
 /** WARC file source/sink (SURVEY.md §2.1 S1/S2/S5): real `.warc` /
-  * `.warc.gz` files ⇄ `Dataset[WarcRecord]`.
+  * `.warc.gz` / `.warc.zst` files ⇄ `Dataset[WarcRecord]`.
   *
-  * Read path: `spark.read.format("binaryFile")` (one row per file — WARC
-  * gzip members don't line up with codec-split boundaries, and the
-  * reference's own model is per-file sequential decode) → `flatMap` the
-  * byte codec per file on executors. Parallelism is per-file, exactly like
-  * a 1000-node crawl archive layout (many ~1 GB WARCs); a single giant
-  * file would need the DataSourceV2 record-boundary splitter sketched in
-  * SURVEY §2.1, which the record-at-time gzip members make possible.
+  * Read path: `spark.read.format("binaryFile")` over a DIRECTORY with
+  * `pathGlobFilter` (a glob-in-path triggers Spark's spurious
+  * FileStreamSink probe WARN) — one row per file, decoded INCREMENTALLY by
+  * [[WarcBytes.WarcFileDecoder]]: gzip inflates one member at a time, so
+  * peak executor memory is compressed-file + one record, never the
+  * decompressed stream. Parallelism is per-file, exactly like a crawl
+  * archive layout (many ~1 GB WARCs); a single giant file would need the
+  * DataSourceV2 record-boundary splitter sketched in SURVEY §2.1, which
+  * the record-at-time gzip members make possible.
   *
-  * Write path: records grouped per task → one `.warc` or `.warc.gz`
-  * segment per partition via the byte encoder; `file` column names the
-  * logical segment.
+  * Write path: records stream record-at-a-time through the Hadoop
+  * FileSystem API (works on hdfs:// and s3a:// URIs, not just the local
+  * FS) — one `.warc[.gz]` file per partition, one gzip member per record
+  * (record-at-time compression, encode.rs:108-113).
   */
 object WarcSource {
 
-  /** Read WARC files (auto-detecting plain vs record-at-time gzip via the
-    * magic bytes) into records with exact uncompressed byte offsets.
+  /** Read all WARC files under `dir` matching `glob` (auto-detecting
+    * plain vs record-at-time gzip vs zstd via magic bytes) into records
+    * with exact uncompressed byte offsets.
     */
-  def read(spark: SparkSession, pathGlob: String): Dataset[WarcRecord] = {
+  def read(spark: SparkSession, dir: String, glob: String = "*.warc*"): Dataset[WarcRecord] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
+    binaryFiles(spark, dir, glob)
+      .flatMap { case (path, bytes) => new WarcBytes.WarcFileDecoder(bytes, path) }
+  }
+
+  /** Per-file decode stats: (file, n_records, rat_ok). `rat_ok` is the
+    * RecordAtTimeCompression whole-file verify flag (decode.rs:700-711,
+    * app/verify.rs:79-82): false when a concatenation-capable file is not
+    * compressed one-record-per-member.
+    */
+  def fileStats(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame = {
+    import spark.implicits._
+    binaryFiles(spark, dir, glob)
+      .map { case (path, bytes) =>
+        val dec = new WarcBytes.WarcFileDecoder(bytes, path)
+        var n = 0L
+        while (dec.hasNext) { dec.next(); n += 1 }
+        (path, n, dec.recordAtTimeOk)
+      }
+      .toDF("file", "n_records", "rat_ok")
+  }
+
+  private def binaryFiles(spark: SparkSession, dir: String,
+                          glob: String): Dataset[(String, Array[Byte])] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        WarcBytes.detectFormat(bytes) match {
-          case "warc" => WarcBytes.decodeRecords(bytes, path)
-          case "gzip" => WarcBytes.decodeGzip(bytes, path)
-          case "zstd" => WarcBytes.decodeZstd(bytes, path)
-          case other  => throw new IllegalArgumentException(s"$path: unsupported format $other")
-        }
-      }
   }
 
   /** Write records as one WARC file per partition under `dir`
     * (part-<partition>.warc[.gz]). Records are written in within-partition
-    * order; use `repartitionByRange(...).sortWithinPartitions(...)`
-    * upstream for a deterministic layout.
+    * order and STREAMED (one record encoded + flushed at a time — the
+    * partition is never buffered); use
+    * `repartitionByRange(...).sortWithinPartitions(...)` upstream for a
+    * deterministic layout.
     */
   def write(records: Dataset[WarcRecord], dir: String, gzip: Boolean = false): Unit = {
     val ext = if (gzip) ".warc.gz" else ".warc"
     records.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val recs = it.toSeq
-      if (recs.isEmpty) Iterator.empty
+      if (!it.hasNext) Iterator.empty
       else {
-        val bytes =
-          if (gzip) WarcBytes.encodeGzip(recs) else WarcBytes.encodeRecords(recs)
-        val path = java.nio.file.Paths.get(dir, f"part-$pid%05d$ext")
-        java.nio.file.Files.createDirectories(path.getParent)
-        java.nio.file.Files.write(path, bytes)
+        // executor-side Configuration: picks up the cluster's fs.* settings
+        // from the classpath (local defaults in-sandbox)
+        val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$ext")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(path, true)
+        try {
+          it.foreach { r =>
+            val plain = WarcBytes.encodeRecords(Seq(r))
+            if (gzip) {
+              // one gzip member per record: record-at-time compression
+              val gz = new java.util.zip.GZIPOutputStream(out) {
+                `def`.setLevel(Deflater.BEST_SPEED)
+              }
+              gz.write(plain)
+              gz.finish()
+            } else out.write(plain)
+          }
+        } finally out.close()
         Iterator.single(path.toString)
       }
     }.collect()

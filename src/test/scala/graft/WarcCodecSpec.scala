@@ -89,7 +89,7 @@ class WarcCodecSpec extends AnyFunSuite {
     val records = Synth.warcRecords(round = 3, n = 60)
     val ds = spark.createDataset(records).coalesce(1)
     WarcSource.write(ds, dir, gzip = true)
-    val back = WarcSource.read(spark, s"$dir/*.warc.gz")
+    val back = WarcSource.read(spark, dir, "*.warc.gz")
       .collect().sortBy(_.position)
     assert(back.length == 60)
     back.zip(records).foreach { case (d, r) =>
@@ -97,6 +97,42 @@ class WarcCodecSpec extends AnyFunSuite {
       assert(d.fields == r.fields)
       assert(d.bytes.sameElements(r.bytes))
     }
+    // per-file stats: record-at-time members → rat_ok
+    val stats = WarcSource.fileStats(spark, dir).collect()
+    assert(stats.length == 1 && stats.head.getLong(1) == 60 && stats.head.getBoolean(2))
+  }
+
+  test("RecordAtTimeCompression flag: multi-record member is a fault " +
+    "(decode.rs:700-711, app/verify.rs:79-82)") {
+    val records = Synth.warcRecords(round = 4, n = 6)
+    // record-at-time: one member per record → ok
+    val ok = new WarcBytes.WarcFileDecoder(WarcBytes.encodeGzip(records), "ok.warc.gz")
+    assert(ok.toVector.size == 6 && ok.recordAtTimeOk)
+    // whole stream as ONE gzip member → records decode fine, flag trips
+    val oneMember = {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(WarcBytes.encodeRecords(records)); gz.finish()
+      out.toByteArray
+    }
+    val fault = new WarcBytes.WarcFileDecoder(oneMember, "fault.warc.gz")
+    val decoded = fault.toVector
+    assert(decoded.size == 6)
+    assert(decoded.map(_.position) == records.map(_.position))
+    assert(!fault.recordAtTimeOk)
+    // plain (identity) format: concatenation not applicable → never a fault
+    val plain = new WarcBytes.WarcFileDecoder(WarcBytes.encodeRecords(records), "p.warc")
+    assert(plain.toVector.size == 6 && plain.recordAtTimeOk)
+  }
+
+  test("streaming decode is incremental: records come out before the " +
+    "whole stream is consumed (bounded-memory contract)") {
+    val records = Synth.warcRecords(round = 5, n = 40)
+    val dec = new WarcBytes.WarcFileDecoder(WarcBytes.encodeGzip(records), "s.warc.gz")
+    // pulling the first record must NOT require decoding all 40
+    val first = dec.next()
+    assert(first.position == 0L)
+    assert(dec.toVector.size == 39)
   }
 
   test("encode rejects Content-Length mismatch (encode.rs:119-132)") {
