@@ -71,10 +71,11 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 4M URLs: finishes a 2-core timed round in ~30 s while keeping the
-    // fixed driver overhead (~2 s of job scheduling/AQE planning) small
-    // enough that the strong-scaling ratio isn't Amdahl-capped
-    val frontierN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4000000").toInt
+    // 8M URLs: a 2-core timed round is ~35 s (fits the budget with one
+    // trial) while the fixed driver overhead (~2 s of job scheduling/AQE
+    // planning) stays small enough that the strong-scaling ratio isn't
+    // Amdahl-capped (probed: 8M ≈ 0.83 efficiency, 4M caps near 0.78)
+    val frontierN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8000000").toInt
     val nHosts = 10000
 
     // ---- mutable result state; render() can run at ANY point ----

@@ -355,9 +355,20 @@ object SparkEntry {
       Ann.bruteForceTopK(e, e.where(col("vec_id") < 20), 5)
     }),
 
-    // ANN: sign-bit LSH near-dup pairs, exact-cosine confirmed
-    "q30_embed_neardup_lsh" -> ((s, dir) =>
-      Ann.lshNearDupPairs(ft(s, dir, "embeddings"), 4, 400)),
+    // ANN: multi-band sign-bit LSH near-dup pairs (3 bands × 16 bits,
+    // OR-construction), exact-cosine confirmed. Near-dups injected by
+    // construction: a half-scaled copy with dims 61-64 sign-flipped keeps
+    // all banded signs (dims 1-48) → guaranteed band collision, high cos.
+    // Halving is exact in fp32, so Spark and DuckDB see identical arrays.
+    "q30_embed_neardup_lsh" -> ((s, dir) => {
+      val e = ft(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val pert = e.select((col("vec_id") + 100000).as("vec_id"),
+        concat(
+          transform(slice(col("embedding"), 1, 60), x => (x * lit(0.5f)).cast("float")),
+          transform(slice(col("embedding"), 61, 4), x => (-x * lit(0.5f)).cast("float"))
+        ).as("embedding"))
+      Ann.lshNearDupPairs(e.unionByName(pert), 800, bands = 3, bitsPerBand = 16)
+    }),
 
     // Verify rule engine: per-record checks on dirty records
     "q31_verify_problems" -> ((s, dir) =>
@@ -386,20 +397,27 @@ object SparkEntry {
         array_join(ExtractOp.pathComponents(
           FieldOps.fieldGet(col("fields"), "WARC-Target-URI")), "|").as("path_joined"))),
 
-    // H1–H3: HTTP/1.1 payload decode — framing decision table end-to-end
-    // (content-length / 204-no-body / read-to-end / chunked)
+    // H1–H3: HTTP/1.1 payload decode — framing decision table + codec
+    // pipeline end-to-end (content-length / 204-no-body / read-to-end with
+    // Content-Encoding: zstd / chunked)
     "q35_http_parse" -> ((s, dir) => {
       val v = pmod(col("doc_id"), lit(4))
       val nBytes = length(col("text").cast("binary"))
+      val zstdUdf = udf { (t: String) =>
+        com.github.luben.zstd.Zstd.compress(
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8), 3)
+      }
       val payload = when(v === 0, concat(
         lit("HTTP/1.1 200 OK\r\nContent-Length: "),
-        nBytes.cast("string"), lit("\r\n\r\n"), col("text")))
-        .when(v === 1, concat(lit("HTTP/1.1 204 No Content\r\n\r\n"), col("text")))
-        .when(v === 2, concat(lit("HTTP/1.1 200 OK\r\nX-Junk: 1\r\n\r\n"), col("text")))
+        nBytes.cast("string"), lit("\r\n\r\n"), col("text")).cast("binary"))
+        .when(v === 1, concat(lit("HTTP/1.1 204 No Content\r\n\r\n"), col("text")).cast("binary"))
+        .when(v === 2, concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\n").cast("binary"),
+          zstdUdf(col("text"))))
         .otherwise(concat(lit("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"),
-          hex(nBytes), lit("\r\n"), col("text"), lit("\r\n0\r\n\r\n")))
+          hex(nBytes), lit("\r\n"), col("text"), lit("\r\n0\r\n\r\n")).cast("binary"))
       ft(s, dir, "documents")
-        .select(col("doc_id"), ExtractOp.parseHttp(payload.cast("binary")).as("p"))
+        .select(col("doc_id"), ExtractOp.parseHttp(payload).as("p"))
         .select(col("doc_id"), col("p.ok").as("ok"),
           col("p.status").cast("long").as("status"), md5(col("p.body")).as("body_md5"))
     }),
@@ -518,6 +536,32 @@ object SparkEntry {
       ExportImportOp.importReassemble(chunks).join(declared, Seq("id"))
         .select(col("id"),
           (md5(col("payload").cast("binary")) === col("payload_md5")).as("ok"))
+    }),
+
+    // Dedup under adversarial skew: 3000 IDENTICAL short docs land in ONE
+    // minhash band — the cluster-keeper form emits one row per duplicate
+    // (linear), never the quadratic in-band pair set; exact-Jaccard
+    // confirmed against the keeper
+    "q49_minhash_skew_clusters" -> ((s, dir) => {
+      val d = ft(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = s.range(0, 3000).select((col("id") + 500000).as("doc_id"),
+        lit("tiny dup doc graft spark").as("text"))
+      Dedup.minhashClusters(d.unionByName(dups), "doc_id", "text", 800)
+    }),
+
+    // Hot-host skew: salted two-phase per-host cap ≡ single-window top-cap
+    // (one host holds half the frontier; the salted form never sorts it in
+    // one reducer)
+    "q51_host_cap_salted" -> ((s, dir) => {
+      val f = ft(s, dir, "orders").select(
+        concat(lit("u/"), col("o_orderkey").cast("string")).as("canonical_url"),
+        pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0, lit("hot.example.test"))
+          .otherwise(concat(lit("h"),
+            pmod(pmod(col("o_orderkey"), lit(3000)), lit(37)).cast("string"),
+            lit(".example.test"))).as("host"))
+      Politeness.capPerHost(f, 50)
+        .select(col("host"), col("priority_band"), col("canonical_url"))
     }),
 
     // Revisit marking: duplicate payloads become revisit records
@@ -905,22 +949,34 @@ object SparkEntry {
          |  FROM p
          |) WHERE rank <= 5""".stripMargin,
 
-    "q30_embed_neardup_lsh" ->
-      s"""WITH k AS (
-         |  SELECT vec_id, embedding,
-         |   ${(0 until 4).map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS bucket
+    "q30_embed_neardup_lsh" -> {
+      def bv(b: Int, side: String): String =
+        (0 until 16).map(i =>
+          s"(CASE WHEN $side.embedding[${b * 16 + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("(", " + ", ")")
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |   list_concat(
+         |     list_transform(embedding[1:60], x -> CAST(x * 0.5 AS FLOAT)),
+         |     list_transform(embedding[61:64], x -> CAST(-x * 0.5 AS FLOAT))) AS embedding
          |  FROM embeddings
+         |),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+         |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+         |   AND (${(0 until 3).map(b => s"${bv(b, "a")} = ${bv(b, "b")}").mkString(" OR ")})
          |)
-         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-         | CAST(floor(1000.0 *
-         |   list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-         |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-         |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))) AS BIGINT) AS cos_milli
-         |FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE CAST(floor(1000.0 *
-         |   list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-         |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-         |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))) AS BIGINT) >= 400""".stripMargin,
+         |SELECT DISTINCT id_a, id_b, cos_milli FROM (
+         |  SELECT id_a, id_b,
+         |   CAST(floor(1000.0 *
+         |     list_sum(list_transform(range(1, 65), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+         |     / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+         |      * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))))) AS BIGINT) AS cos_milli
+         |  FROM cand
+         |) WHERE cos_milli >= 800""".stripMargin
+    },
 
     "q31_verify_problems" ->
       """SELECT o_orderkey AS position, 'missing_mandatory_field' AS kind, 'Content-Length' AS detail
@@ -1028,6 +1084,40 @@ object SparkEntry {
 
     "q43_import_reject" ->
       "SELECT doc_id AS id, (doc_id % 7 <> 0) AS ok FROM documents",
+
+    "q49_minhash_skew_clusters" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT 500000 + i AS doc_id, 'tiny dup doc graft spark' AS text FROM range(0, 3000) t(i)
+         |), w AS (SELECT doc_id, $wsExpr AS ws FROM aug),
+         |s AS (SELECT doc_id, list_distinct(ws) AS wset, $shingleExpr AS sh FROM w),
+         |sig AS (SELECT doc_id, wset, ${minhashCols("")} FROM s WHERE len(sh) > 0),
+         |b AS (SELECT doc_id, wset, mh0 || mh1 AS band FROM sig),
+         |k AS (SELECT doc_id, wset, band,
+         |        min(doc_id) OVER (PARTITION BY band) AS keeper_id FROM b),
+         |j AS (SELECT k.doc_id AS id, k.keeper_id, k.wset AS wa, kk.wset AS wb
+         |      FROM k JOIN b kk ON kk.doc_id = k.keeper_id
+         |      WHERE k.doc_id <> k.keeper_id)
+         |SELECT id, keeper_id, jaccard_milli FROM (
+         |  SELECT id, keeper_id,
+         |   CAST(floor(1000.0 * len(list_filter(wa, x -> list_contains(wb, x)))
+         |     / len(list_distinct(list_concat(wa, wb)))) AS BIGINT) AS jaccard_milli
+         |  FROM j
+         |) WHERE jaccard_milli >= 800""".stripMargin,
+
+    "q51_host_cap_salted" ->
+      """WITH f AS (
+        |  SELECT 'u/' || o_orderkey AS canonical_url,
+        |   CAST(CAST(floor(o_orderkey/3000.0) AS BIGINT) % 4 AS INT) AS priority_band,
+        |   CASE WHEN o_orderkey % 2 = 0 THEN 'hot.example.test'
+        |     ELSE 'h' || ((o_orderkey%3000)%37) || '.example.test' END AS host
+        |  FROM orders
+        |)
+        |SELECT host, priority_band, canonical_url FROM (
+        |  SELECT f.*, row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) AS rn
+        |  FROM f
+        |) WHERE rn <= 50""".stripMargin,
 
     // q44–q47 inputs are engine-synthesized; the oracles gate the DECISION
     // COLUMNS against the deterministic id-index injection patterns

@@ -52,4 +52,26 @@ object Politeness {
   def fetchBatches(scheduled: DataFrame, perHostBudget: Int): DataFrame =
     scheduled.withColumn("batch_id",
       floor((col("host_seq") - 1) / perHostBudget).cast("long"))
+
+  /** Deterministic per-host round cap WITHOUT serializing a hot host onto
+    * one reducer (hot-host skew mitigation): phase 1 takes the top-`cap`
+    * per (host, salt) — a 10^8-URL host fans across `nSalt` window
+    * reducers — and phase 2 takes the exact top-`cap` per host over the
+    * ≤ nSalt·cap survivors. Two-phase top-k: the result is IDENTICAL to a
+    * single row_number-over-host cap (phase 1 can only drop rows ranked
+    * below `cap` within a salt, which are ranked below `cap` globally),
+    * but the full hot-host row set never sorts in one task. Order is the
+    * politeness order (priority_band, canonical_url) so the cap keeps
+    * exactly the URLs [[schedule]] would fetch first.
+    */
+  def capPerHost(frontier: DataFrame, cap: Int, nSalt: Int = 16): DataFrame = {
+    val order = Seq(col("priority_band").asc, col("canonical_url").asc)
+    val w1 = Window
+      .partitionBy(col("host"), pmod(xxhash64(col("canonical_url")), lit(nSalt.toLong)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy("host").orderBy(order: _*)
+    frontier
+      .withColumn("r1", row_number().over(w1)).where(col("r1") <= cap).drop("r1")
+      .withColumn("r2", row_number().over(w2)).where(col("r2") <= cap).drop("r2")
+  }
 }

@@ -58,7 +58,8 @@ object Scheduler {
     * the partition count.
     */
   def runRound(rawFrontier: DataFrame, seenKeys: DataFrame, robots: DataFrame,
-               perHostBudget: Int = 100, numBloomBuckets: Int = 64): DataFrame = {
+               perHostBudget: Int = 100, numBloomBuckets: Int = 64,
+               maxPerHostPerRound: Int = 0): DataFrame = {
     val canon = dedupeWithinBatch(canonicalize(rawFrontier))
     val fresh =
       if (seenKeys.isEmpty) canon
@@ -66,7 +67,13 @@ object Scheduler {
         val buckets = SeenSet.buildBuckets(seenKeys, "url_key", numBloomBuckets)
         SeenSet.probeAndConfirm(canon, seenKeys, "url_key", buckets, numBloomBuckets)
       }
-    val polite = Politeness.applyRobots(fresh, robots)
+    val robotted = Politeness.applyRobots(fresh, robots)
+    // optional hot-host round cap (salted two-phase top-k): bounds the
+    // politeness window's largest partition so one 10^8-URL host can't
+    // tail-stall the stage; 0 = uncapped
+    val polite =
+      if (maxPerHostPerRound > 0) Politeness.capPerHost(robotted, maxPerHostPerRound)
+      else robotted
     // ONE exchange feeds the politeness window: the window's own
     // hash-partitioning on host already makes scheduling partition-local
     // and keeps whole hosts together (a pre-window repartitionByRange

@@ -155,14 +155,24 @@ object HttpOps {
   private def isHexDigit(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
-  /** Content/Transfer-Encoding codecs. gzip/x-gzip via java.util.zip;
-    * deflate = zlib wrapper with raw-deflate fallback (lenient like
-    * browsers; reference uses flate2 zlib for "deflate").
+  /** Content/Transfer-Encoding codecs. Coding names follow the reference's
+    * Format::from_str table (compress.rs:84-98): gzip/x-gzip/gz,
+    * zstd/zstandard/zst, deflate (zlib wrapper with raw-deflate fallback,
+    * lenient like browsers; reference uses flate2 zlib). brotli (`br`) is
+    * in the reference's table but has no decoder in this container — it
+    * surfaces as the UnsupportedContentEncoding error, the one documented
+    * codec gap.
     */
   def decompress(name: String, data: Array[Byte]): Either[String, Array[Byte]] = name match {
-    case "gzip" | "x-gzip" =>
+    case "gzip" | "x-gzip" | "gz" =>
       try Right(readAll(new GZIPInputStream(new ByteArrayInputStream(data))))
       catch { case e: Exception => Left(s"gzip_error:${e.getClass.getSimpleName}") }
+    case "zstd" | "zstandard" | "zst" =>
+      try {
+        val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new ByteArrayInputStream(data))
+        try Right(readAll(in)) finally in.close()
+      } catch { case e: Exception => Left(s"zstd_error:${e.getClass.getSimpleName}") }
     case "deflate" =>
       try Right(readAll(new InflaterInputStream(new ByteArrayInputStream(data))))
       catch {

@@ -92,45 +92,94 @@ object Dedup {
     }
   }
 
-  /** MinHash + LSH near-dup candidate pairs, exact-Jaccard-confirmed.
-    *
-    * 1. signature per doc (narrow);
-    * 2. band key = concat of the band's minhashes;
-    * 3. self-join on band key (candidates only — this is the LSH bucket
-    *    join; at scale the join input is tiny: (band_key, id, words));
-    * 4. exact word-set Jaccard confirm ≥ threshold (milli-scaled).
-    *
-    * Returns (id_a, id_b, jaccard_milli) with id_a < id_b.
+  /** Exact word-set Jaccard, milli-scaled floor (cross-engine exact). */
+  private def jaccardMilli(wa: Column, wb: Column): Column =
+    floor(lit(1000.0) * size(array_intersect(wa, wb)) /
+      size(array_distinct(concat(wa, wb)))).cast("long")
+
+  /** Banding signature: (id, wset, band) — band key = concat of the two
+    * banding minhashes; docs with no shingle are dropped (no signature).
+    * Only the banding hashes are computed — the exact Jaccard confirm does
+    * the real similarity work, so extra signature salts would be wasted
+    * md5 passes over every shingle.
     */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 jaccardMilliThreshold: Long): DataFrame = {
-    // only the banding hashes are computed here (mh0, mh1) — the exact
-    // Jaccard confirm below does the real similarity work, so extra
-    // signature salts would be wasted md5 passes over every shingle
-    val sig = df.select(
+  private def bandedSig(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
       col(idCol).as("id"),
       array_distinct(TextOps.words(col(textCol))).as("wset"),
       minhashSig(col(textCol), 2).as("sig"))
       .withColumn("band", concat(col("sig.mh0"), col("sig.mh1")))
       .where(col("sig.mh0").isNotNull)
-    // bucket-group instead of self-join: the expensive signature pass runs
-    // ONCE (a self-join re-evaluates it per side — no exchange reuse), and
-    // one shuffle on band replaces two. LSH keeps buckets small by
-    // construction, so the in-bucket pair product explodes a few rows per
-    // band (spill-safe: members arrays carry only (id, wset)).
-    val buckets = sig.groupBy(col("band"))
+      .drop("sig")
+
+  /** MinHash + LSH near-dup candidate pairs, exact-Jaccard-confirmed.
+    *
+    * 1. signature per doc (narrow);
+    * 2. band key = concat of the band's minhashes;
+    * 3. in-band pair generation, SIZE-SPLIT for skew safety:
+    *    - bands ≤ `maxGroupedBucket` members: one collect_list group —
+    *      the signature pass runs once and one shuffle on band replaces a
+    *      self-join's two;
+    *    - oversized bands (boilerplate / near-identical short docs — the
+    *      degenerate LSH case): a sort-merge self-join on the band key,
+    *      which streams and spills instead of collecting one unbounded
+    *      array into a single aggregation buffer (executor-OOM risk at
+    *      10^10 docs);
+    *    both paths emit exactly the in-band pair set, so the result is
+    *    independent of the cap.
+    * 4. exact word-set Jaccard confirm ≥ threshold (milli-scaled).
+    *
+    * The window count, the small-path groupBy, and the large-path
+    * self-join all cluster on `band`, so the whole split reuses ONE
+    * exchange of (band, id, wset).
+    *
+    * Returns (id_a, id_b, jaccard_milli) with id_a < id_b.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 jaccardMilliThreshold: Long,
+                 maxGroupedBucket: Int = 1024): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
+    val sized = bandedSig(df, idCol, textCol)
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .where(col("bucket_n") > 1)
+    val small = sized.where(col("bucket_n") <= maxGroupedBucket)
+    val large = sized.where(col("bucket_n") > maxGroupedBucket)
+    val smallPairs = small.groupBy(col("band"))
       .agg(collect_list(struct(col("id"), col("wset"))).as("members"))
-      .where(size(col("members")) > 1)
-    val inter = size(array_intersect(col("a.wset"), col("b.wset")))
-    val union = size(array_distinct(concat(col("a.wset"), col("b.wset"))))
-    buckets
       .select(col("members"), explode(col("members")).as("a"))
       .select(col("a"), explode(col("members")).as("b"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        floor(lit(1000.0) * inter / union).cast("long").as("jaccard_milli"))
+        col("a.wset").as("wa"), col("b.wset").as("wb"))
+    val la = large.select(col("band"), col("id").as("id_a"), col("wset").as("wa"))
+    val lb = large.select(col("band"), col("id").as("id_b"), col("wset").as("wb"))
+    val largePairs = la.join(lb, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("wa"), col("wb"))
+    smallPairs.unionByName(largePairs)
+      .select(col("id_a"), col("id_b"), jaccardMilli(col("wa"), col("wb")).as("jaccard_milli"))
       .where(col("jaccard_milli") >= jaccardMilliThreshold)
       .distinct()
+  }
+
+  /** Near-dup CLUSTERING (keeper form): each doc is confirmed against its
+    * band's MINIMUM-id member only, so a degenerate band of n identical
+    * docs emits n-1 rows instead of n(n-1)/2 pairs — the formulation a
+    * dedup pipeline actually wants at 10^10 docs (assign every duplicate
+    * to a keeper, drop the rest). One window over the band exchange, no
+    * collected arrays, output linear in the input.
+    *
+    * Returns (id, keeper_id, jaccard_milli) for confirmed non-keepers.
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      jaccardMilliThreshold: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
+    bandedSig(df, idCol, textCol)
+      .withColumn("k", min(struct(col("id"), col("wset"))).over(w))
+      .where(col("id") =!= col("k.id"))
+      .select(col("id"), col("k.id").as("keeper_id"),
+        jaccardMilli(col("wset"), col("k.wset")).as("jaccard_milli"))
+      .where(col("jaccard_milli") >= jaccardMilliThreshold)
   }
 
   /** SimHash (16-bit): bit j is set when, summed over all tokens, the top
