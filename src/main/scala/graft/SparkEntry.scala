@@ -453,14 +453,17 @@ object SparkEntry {
         .select(col("position"), col("h._1").as("header_len"), col("h._2").as("header_md5"))
     }),
 
-    // F5: media-type parse (grammar parse/fields.rs:87-126); %23 rows invalid
+    // F5: media-type parse incl. the parameters map (grammar
+    // parse/fields.rs:87-126, struct header/fields.rs:34-39); %23 invalid
     "q38_media_type" -> ((s, dir) => {
       val ct = when(pmod(col("o_orderkey"), lit(23)) === 0, lit("not a media type"))
         .otherwise(contentType)
       ft(s, dir, "orders").select(col("o_orderkey").as("position"),
           FieldOps.mediaType(ct).as("mt"))
         .select(col("position"), col("mt.ok").as("mt_ok"),
-          col("mt.type").as("mt_type"), col("mt.subtype").as("mt_subtype"))
+          col("mt.type").as("mt_type"), col("mt.subtype").as("mt_subtype"),
+          FieldOps.mediaTypeParam(col("mt"), "msgtype").as("mt_msgtype"),
+          size(col("mt.parameters")).as("mt_n_params"))
     }),
 
     // F2/F10/F12/F13: scalar functions — strict u64, unfold, comma-list,
@@ -547,6 +550,18 @@ object SparkEntry {
       val dups = s.range(0, 3000).select((col("id") + 500000).as("doc_id"),
         lit("tiny dup doc graft spark").as("text"))
       Dedup.minhashClusters(d.unionByName(dups), "doc_id", "text", 800)
+    }),
+
+    // F15: externally-tagged JSON message stream + RFC 7464 framing —
+    // export each doc as Metadata/Header/BlockChunk*/BlockEnd JSON
+    // messages, frame as a JSON-text-sequence, unframe + from_json,
+    // reassemble and validate the checksum/length handshake
+    "q50_json_messages" -> ((s, dir) => {
+      val d = ft(s, dir, "documents")
+      val msgs = graft.ops.MessageJson.exportJsonMessages(d, "doc_id", "text")
+      val parsed = graft.ops.MessageJson.fromJsonSeq(graft.ops.MessageJson.toJsonSeq(msgs))
+      graft.ops.MessageJson.importValidate(parsed)
+        .select(col("id"), col("n_messages"), col("roundtrip_ok"))
     }),
 
     // Hot-host skew: salted two-phase per-host cap ≡ single-window top-cap
@@ -1049,7 +1064,10 @@ object SparkEntry {
         |      WHEN o_orderstatus = 'F' THEN 'image' ELSE 'text' END AS mt_type,
         | CASE WHEN o_orderkey % 23 = 0 THEN NULL
         |      WHEN o_orderstatus = 'O' THEN 'http'
-        |      WHEN o_orderstatus = 'F' THEN 'png' ELSE 'plain' END AS mt_subtype
+        |      WHEN o_orderstatus = 'F' THEN 'png' ELSE 'plain' END AS mt_subtype,
+        | CASE WHEN o_orderkey % 23 <> 0 AND o_orderstatus = 'O' THEN 'response' END AS mt_msgtype,
+        | CASE WHEN o_orderkey % 23 = 0 THEN NULL
+        |      WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS mt_n_params
         |FROM orders""".stripMargin,
 
     "q39_scalar_funcs" ->
@@ -1105,6 +1123,12 @@ object SparkEntry {
          |     / len(list_distinct(list_concat(wa, wb)))) AS BIGINT) AS jaccard_milli
          |  FROM j
          |) WHERE jaccard_milli >= 800""".stripMargin,
+
+    "q50_json_messages" ->
+      """SELECT doc_id AS id,
+        | CAST(3 + GREATEST(CAST(ceil(length(text)/64.0) AS BIGINT), 1) AS BIGINT) AS n_messages,
+        | true AS roundtrip_ok
+        |FROM documents""".stripMargin,
 
     "q51_host_cap_salted" ->
       """WITH f AS (

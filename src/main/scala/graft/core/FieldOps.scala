@@ -92,18 +92,36 @@ object FieldOps {
     v.rlike("^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$") ||
       v.rlike("^[0-9A-Fa-f:]+:[0-9A-Fa-f:]*$")
 
-  /** Media-type parse (type/subtype;k=v, grammar src/parse/fields.rs:87-126)
-    * → struct(type, subtype, ok).
+  /** Media-type parse (type/subtype with ;attr=value parameters, grammar
+    * src/parse/fields.rs:87-126: token "/" token then many0 of
+    * space* ";" space* token "=" token; quoted-string values are
+    * unimplemented in the reference too, parse/fields.rs:125)
+    * → struct(type, subtype, ok, parameters: map<string,string>).
+    * Parameter names/values keep their case (the reference compares
+    * `msgtype=response` case-sensitively, extract.rs:78-85).
     */
   def mediaType(v: Column): Column = {
     val tchar = "[!#$%&'*+.^_`|~0-9A-Za-z-]+"
-    val ok = v.rlike(s"^$tchar/$tchar(\\s*;.*)?$$")
+    val ok = v.rlike(s"^$tchar/$tchar(\\s*;\\s*$tchar=$tchar)*$$")
+    // strip "type/subtype" + the first separator, normalize the rest to
+    // "k=v;k=v" for str_to_map (tokens never contain whitespace or ';')
+    val paramsBody = regexp_replace(
+      regexp_replace(v, s"^$tchar/$tchar\\s*;?\\s*", ""), "\\s*;\\s*", ";")
     struct(
       when(ok, lower(regexp_extract(v, s"^($tchar)/", 1))).as("type"),
       when(ok, lower(regexp_extract(v, s"^$tchar/($tchar)", 1))).as("subtype"),
-      ok.as("ok")
+      ok.as("ok"),
+      when(ok && length(paramsBody) > 0, str_to_map(paramsBody, lit(";"), lit("=")))
+        .when(ok, map())
+        .as("parameters")
     )
   }
+
+  /** First media-type parameter value by (case-sensitive) name; null when
+    * absent or the media type is invalid.
+    */
+  def mediaTypeParam(mt: Column, name: String): Column =
+    try_element_at(mt.getField("parameters"), lit(name))
 
   /** Comma-list header split: lowercased, trimmed, deduped, order kept
     * (src/http/h1/header/fields.rs:15-31).

@@ -84,20 +84,71 @@ object SeenSet {
     * bloom-positives confirmed new by the exact anti-join. Equivalent to
     * `candidates LEFT ANTI JOIN seen ON key` — the bloom only shrinks the
     * anti-join's probe side.
+    *
+    * Path selection by bucket-table size: small tables broadcast (probe
+    * stays narrow — no candidate shuffle); past `maxBroadcastBytes` the
+    * table stays DISTRIBUTED and candidates cogroup with their bucket
+    * ([[probeDistributed]]) — at 10^10 keys the correctly-sized bitsets
+    * are ≥ 1.2 GB, which must never funnel through driver memory or a
+    * whole-table broadcast.
     */
   def probeAndConfirm(candidates: DataFrame, seenKeys: DataFrame, keyCol: String,
-                      buckets: DataFrame, numBuckets: Int): DataFrame = {
-    val spark = candidates.sparkSession
-    val bucketMap = buckets.collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-    val probe = new BloomProbe(spark.sparkContext.broadcast(bucketMap), numBuckets)
-    val maybeSeenUdf = udf((key: Long) => probe.maybeSeen(key))
-    val probed = candidates.withColumn("maybe_seen", maybeSeenUdf(col(keyCol)))
+                      buckets: DataFrame, numBuckets: Int,
+                      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val totalBytes = buckets
+      .agg(coalesce(sum(length(col("bloom"))), lit(0L))).head.getLong(0)
+    val probed =
+      if (totalBytes <= maxBroadcastBytes)
+        probeBroadcast(candidates, keyCol, buckets, numBuckets)
+      else probeDistributed(candidates, keyCol, buckets, numBuckets)
     val definitelyNew = probed.where(!col("maybe_seen")).drop("maybe_seen")
     val needConfirm = probed.where(col("maybe_seen")).drop("maybe_seen")
     val confirmedNew = needConfirm.join(
       seenKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     definitelyNew.unionByName(confirmedNew)
+  }
+
+  /** Broadcast probe (small bucket tables): candidates stay un-shuffled;
+    * each executor deserializes the filters once per JVM.
+    */
+  private[frontier] def probeBroadcast(candidates: DataFrame, keyCol: String,
+                                       buckets: DataFrame, numBuckets: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val bucketMap = buckets.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val probe = new BloomProbe(spark.sparkContext.broadcast(bucketMap), numBuckets)
+    val maybeSeenUdf = udf((key: Long) => probe.maybeSeen(key))
+    candidates.withColumn("maybe_seen", maybeSeenUdf(col(keyCol)))
+  }
+
+  /** Distributed probe (bucket tables too big to broadcast): candidates
+    * cogroup with the bucket table on bucket id — one hash shuffle of the
+    * candidates, zero bytes through the driver. Each group deserializes
+    * its bucket's filter exactly once and streams its candidates through
+    * it; a missing bucket means nothing was ever inserted there
+    * (maybe_seen = false). This is the Iceberg `seen_buckets`-table layout
+    * of SURVEY §4 probed bucket-local.
+    */
+  private[frontier] def probeDistributed(candidates: DataFrame, keyCol: String,
+                                         buckets: DataFrame, numBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = candidates.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val outSchema = schema.add("maybe_seen", org.apache.spark.sql.types.BooleanType,
+      nullable = false)
+    val candG = candidates.groupByKey((r: Row) =>
+      math.floorMod(r.getLong(keyIdx), numBuckets).toLong)(Encoders.scalaLong)
+    val bucketG = buckets.select(col("bucket").cast("long"), col("bloom"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .groupByKey(_._1)(Encoders.scalaLong)
+    candG.cogroup(bucketG) { (_, cands, blooms) =>
+      val bf = if (blooms.hasNext) Some(deser(blooms.next()._2)) else None
+      bf match {
+        case None => cands.map(r => Row.fromSeq(r.toSeq :+ false))
+        case Some(filter) =>
+          cands.map(r => Row.fromSeq(r.toSeq :+ filter.mightContainLong(r.getLong(keyIdx))))
+      }
+    }(Encoders.row(outSchema)).toDF()
   }
 
   /** Exact-only dedupe (the v0 / confirm path): candidates anti-joined

@@ -18,14 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object ExtractOp {
 
-  /** decoder_kind: 'http' | 'identity' | 'none' (extract.rs:66-113). */
+  /** decoder_kind: 'http' | 'identity' | 'none' (extract.rs:66-113).
+    * HTTP routing requires Content-Type application/http WITH parameter
+    * msgtype=response — absent or different msgtype is NOT an HTTP
+    * response (extract.rs:78-85: unwrap_or_default() == "response").
+    */
   def decoderKind(fields: Column): Column = {
     val recType = lower(fieldGet(fields, "WARC-Type"))
     val uri = fieldGet(fields, "WARC-Target-URI")
     val mt = mediaType(fieldGet(fields, "Content-Type"))
     val segmented = fieldContains(fields, "WARC-Segment-Number")
     val isHttpResponse = mt.getField("ok") &&
-      mt.getField("type") === "application" && mt.getField("subtype") === "http"
+      mt.getField("type") === "application" && mt.getField("subtype") === "http" &&
+      coalesce(graft.core.FieldOps.mediaTypeParam(mt, "msgtype") === "response", lit(false))
     when(segmented, "none")
       .when(recType === "response" && uri.isNotNull && isHttpResponse, "http")
       .when((recType === "resource" || recType === "conversion") && uri.isNotNull, "identity")

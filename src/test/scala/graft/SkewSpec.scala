@@ -73,6 +73,22 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed (cogrouped) bloom probe == exact anti-join == broadcast probe") {
+    import graft.frontier.SeenSet
+    val candidates = (0L until 500L).map(k => (k, s"c$k")).toDF("url_key", "tag")
+    val seen = (0L until 500L by 3L).toDF("url_key")
+    val buckets = SeenSet.buildBuckets(seen, "url_key", 8, 1 << 12)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("url_key").collect().map(_.getLong(0)).sorted.toSeq
+    val exact = keys(SeenSet.dedupeExact(candidates, seen, "url_key"))
+    // force the distributed path (threshold 0) and the broadcast path
+    val dist = keys(SeenSet.probeAndConfirm(candidates, seen, "url_key", buckets, 8,
+      maxBroadcastBytes = 0L))
+    val bcast = keys(SeenSet.probeAndConfirm(candidates, seen, "url_key", buckets, 8))
+    assert(dist == exact && bcast == exact)
+    assert(exact.size == 500 - 167)
+  }
+
   test("HTTP zstd content-encoding decodes through the codec pipeline") {
     val body = "zstd body payload éü".getBytes("UTF-8")
     val compressed = com.github.luben.zstd.Zstd.compress(body, 3)
