@@ -10,11 +10,14 @@ import java.util.zip.{CRC32, CRC32C}
   * digest.rs:130-147).
   *
   * Computation covers the JVM-native algorithms (crc32, crc32c, md5,
-  * sha1, sha256, sha512, sha3-256, sha3-512) — the reference's remaining
-  * four (xxh3, blake2s/2b, blake3) parse and format but report
-  * `unsupported_digest_computation` when verified, since the sandbox is
-  * zero-egress (no external hash libraries). xxhash64 is exposed as the
-  * engine's conflict-id / seen-key hash (Spark built-in, codegen'd).
+  * sha1, sha256, sha512, sha3-256, sha3-512) plus pure-Scala RFC 7693
+  * BLAKE2b-512/BLAKE2s-256 ([[Blake2]]) — 10 of the reference's 12. The
+  * remaining two (xxh3, blake3) parse and format but report
+  * `unsupported_digest_computation` when verified: the sandbox is
+  * zero-egress and neither has a verifiable test-vector source here, so
+  * an unverifiable implementation would be worse than an honest gap.
+  * xxhash64 is exposed as the engine's conflict-id / seen-key hash
+  * (Spark built-in, codegen'd).
   */
 object Digests {
 
@@ -25,7 +28,8 @@ object Digests {
     "blake2s" -> 32, "blake2b" -> 64, "blake3" -> 32)
 
   val Computable: Set[String] = Set(
-    "crc32", "crc32c", "md5", "sha1", "sha256", "sha512", "sha3-256", "sha3-512")
+    "crc32", "crc32c", "md5", "sha1", "sha256", "sha512", "sha3-256", "sha3-512",
+    "blake2s", "blake2b")
 
   /** Compatibility labels (digest.rs:149-157). */
   def normalizeLabel(label: String): String = label.toLowerCase match {
@@ -139,6 +143,8 @@ object Digests {
     case "sha512"   => Some(MessageDigest.getInstance("SHA-512").digest(data))
     case "sha3-256" => Some(MessageDigest.getInstance("SHA3-256").digest(data))
     case "sha3-512" => Some(MessageDigest.getInstance("SHA3-512").digest(data))
+    case "blake2b"  => Some(Blake2.blake2b512(data))
+    case "blake2s"  => Some(Blake2.blake2s256(data))
     case _          => None
   }
 

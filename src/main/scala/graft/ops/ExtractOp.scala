@@ -61,6 +61,19 @@ object ExtractOp {
   /** Public column form of F8: URL → escaped path components. */
   def pathComponents(url: Column): Column = pathComponentsUdf(url)
 
+  /** Path components with the conversion marker applied: conversion
+    * records extract next to the original under `name⬧conversion`
+    * (reference extract.rs:104-107).
+    */
+  private val pathComponentsMarkedUdf = udf { (url: String, isConversion: Boolean) =>
+    if (url == null) null
+    else {
+      val pc = UrlPath.urlToPathComponents(url)
+      if (isConversion && pc.nonEmpty) pc.init :+ UrlPath.markConversion(pc.last)
+      else pc
+    }
+  }
+
   /** Extract eligible records: adds decoder_kind, extracted bytes,
     * path_components, http status/ok, and the xxh conflict id
     * (app/extract.rs:104-167 uses xxh3; Spark's xxhash64 stands in —
@@ -77,7 +90,9 @@ object ExtractOp {
       .withColumn("http_status", col("http._2"))
       .withColumn("decode_error", col("http._4"))
       .withColumn("path_components",
-        pathComponentsUdf(fieldGet(col("fields"), "WARC-Target-URI")))
+        pathComponentsMarkedUdf(fieldGet(col("fields"), "WARC-Target-URI"),
+          lower(fieldGet(col("fields"), "WARC-Type")) === "conversion"))
+      .withColumn("is_truncated", fieldContains(col("fields"), "WARC-Truncated"))
       .withColumn("conflict_id", xxhash64(col("extracted")))
       .drop("http")
   }

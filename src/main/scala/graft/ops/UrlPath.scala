@@ -144,4 +144,63 @@ object UrlPath {
       case i  => (noFrag.substring(0, i), Some(noFrag.substring(i + 1)))
     }
   }
+
+  // ---- filesystem-tree conflict markers (reference
+  //      src/extract.rs:12 FILENAME_CONFLICT_MARKER = '⬧';
+  //      src/app/extract.rs:186-221 create_target_path) ----
+
+  /** The reference's conflict marker char (extract.rs:12). */
+  val ConflictMarker = '⬧'
+
+  /** Truncated-record marker on the final component
+    * (app/extract.rs:194-197).
+    */
+  def markTruncated(component: String): String =
+    s"$component${ConflictMarker}truncated"
+
+  /** Conversion-record marker on the final component
+    * (extract.rs:104-107: conversion records extract next to the original
+    * response under `name⬧conversion`).
+    */
+  def markConversion(component: String): String =
+    s"$component${ConflictMarker}conversion"
+
+  /** Name-taken marker: append the 16-hex xxh conflict id
+    * (app/extract.rs:199-208; the reference hashes with xxh3, this engine
+    * keys conflicts on xxh64 — same role, SURVEY §7.3).
+    */
+  def markConflict(component: String, conflictId: Long): String =
+    f"$component$ConflictMarker$conflictId%016x"
+
+  /** File-in-place-of-directory marker (app/extract.rs:210-216). */
+  def markDirectory(component: String): String =
+    s"$component${ConflictMarker}d"
+
+  /** app/extract.rs:186-221 create_target_path, modeled as a pure
+    * resolution over predicates of the already-written tree: walk the
+    * components; intermediate components that collide with an existing
+    * FILE get `⬧d`; the final component gets `⬧truncated` when the record
+    * was truncated, and the `⬧<id>` suffix when its target path already
+    * exists. Returns the resolved component list.
+    */
+  def resolveTargetPath(components: Seq[String], isTruncated: Boolean,
+                        conflictId: Long,
+                        pathExists: Seq[String] => Boolean,
+                        pathIsFile: Seq[String] => Boolean): Seq[String] = {
+    val resolved = scala.collection.mutable.ArrayBuffer.empty[String]
+    components.zipWithIndex.foreach { case (component, i) =>
+      val isLast = i == components.length - 1
+      if (isLast) {
+        val base = if (isTruncated) markTruncated(component) else component
+        resolved += (if (pathExists(resolved.toSeq :+ base))
+          markConflict(base, conflictId)
+        else base)
+      } else {
+        resolved += (if (pathIsFile(resolved.toSeq :+ component))
+          markDirectory(component)
+        else component)
+      }
+    }
+    resolved.toSeq
+  }
 }
