@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default for forked mains/tests. Note: bench CHILD JVMs get their
+  // own fixed 10g + AlwaysPreTouch (graft.Bench) — on this microVM cold
+  // guest pages are host-backed, so a lazily-faulted big heap costs
+  // ~100 s of kernel time inside timed rounds
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

