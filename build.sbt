@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // guest pages are host-backed, so a lazily-faulted big heap costs
   // ~100 s of kernel time inside timed rounds
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // NO AlwaysPreTouch here: on this microVM faulting costs ~4.7 s/GB of
+  // kernel time (measured: `java -Xms10g -XX:+AlwaysPreTouch -version`
+  // = 47 s wall), so pre-touching 16g would add ~75 s to EVERY forked
+  // main (Verify, tests) for pages mostly never used. Bench children
+  // amortize their fault cost across repeated in-JVM timed rounds.
 )

@@ -5,9 +5,18 @@ import graft.synth.Synth
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One isolated frontier-round measurement: fresh JVM (spawned by Bench),
-  * one SparkSession, one warm-up round, one timed round. Prints
-  * `ROUND_SEC=<seconds>` on stdout. Args: cores n nHosts [shufflePartitions].
+/** Long-lived frontier-round measurement child (spawned by Bench): one
+  * JVM, one SparkSession, one warm-up round, then one timed round per
+  * "go" line on stdin, each printed as `ROUND_SEC=<s> ROUND_ROWS=<n>`.
+  *
+  * One JVM per cores level (not one per trial) because on this microVM
+  * cold guest pages fault at ~4.7 s/GB of kernel time: a fresh 10g JVM
+  * per trial pays ~47 s of page faults each — five trials burned ~4 min
+  * of a 7-min budget on zeroing. Here the warm-up plus first timed round
+  * absorb the fault cost once; min-of-rounds discards it. `READY` is
+  * printed after warm-up so the parent can overlap child startups.
+  *
+  * Args: cores n nHosts [shufflePartitions].
   */
 object BenchRound {
   def main(args: Array[String]): Unit = {
@@ -32,18 +41,24 @@ object BenchRound {
       Scheduler.runRound(frontier, seen, robots).count()
     }
 
-    round(n / 4) // JIT/codegen + heap-expansion warm-up. n/8 was tried and
-                 // REVERTED: a 2M warm-up leaves the (lazily grown) heap
-                 // far below the 16M round's working size, and the timed
-                 // round then GC-walls at 8-core allocation rates
-                 // (measured 5×: 17 s → ~100 s)
-    val t0 = System.nanoTime()
-    val scheduled = round(n)
-    val sec = (System.nanoTime() - t0) / 1e9
-    // Locale.US: a comma-decimal default locale would break the parent's
-    // "[0-9.]+" match and abort the whole bench
-    println("ROUND_SEC=%.4f ROUND_ROWS=%d"
-      .formatLocal(java.util.Locale.US, sec, scheduled))
+    // JIT/codegen warm-up + faults a good chunk of the working set; kept
+    // small — with repeated in-JVM rounds, round 1 finishes the job and
+    // min-of-rounds discards it
+    round(math.max(n / 8, 1000000))
+    println("READY")
+
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    var line = in.readLine()
+    while (line != null && line.trim == "go") {
+      val t0 = System.nanoTime()
+      val scheduled = round(n)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Locale.US: a comma-decimal default locale would break the
+      // parent's "[0-9.]+" match and abort the whole bench
+      println("ROUND_SEC=%.4f ROUND_ROWS=%d"
+        .formatLocal(java.util.Locale.US, sec, scheduled))
+      line = in.readLine()
+    }
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Digests, Field, FieldOps, HeaderSerde}
-import graft.frontier.{Canonical, Politeness, Scheduler, SeenSet}
+import graft.frontier.{Canonical, CuckooSeenSet, Politeness, Scheduler, SeenSet}
 import graft.ops.{ExportImportOp, ExtractOp, FilterOp, ListOp, VerifyOp}
 import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
 import graft.synth.Synth
@@ -562,6 +562,40 @@ object SparkEntry {
       val parsed = graft.ops.MessageJson.fromJsonSeq(graft.ops.MessageJson.toJsonSeq(msgs))
       graft.ops.MessageJson.importValidate(parsed)
         .select(col("id"), col("n_messages"), col("roundtrip_ok"))
+    }),
+
+    // Cuckoo-filter seen set (north rule: deletable fallback to the
+    // bloom path) — probe + exact confirm ≡ exact anti-join, same
+    // contract as q41
+    "q52_seen_cuckoo_dedupe" -> ((s, dir) => {
+      val candidates = Scheduler.dedupeWithinBatch(
+        Scheduler.canonicalize(derivedFrontier(s, dir)))
+      val seenKeys = Scheduler.canonicalize(
+        ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(frontierUrl.as("url"), lit(0).as("priority_band")))
+        .select(col("url_key")).distinct()
+      val buckets = CuckooSeenSet.buildBuckets(seenKeys, "url_key", 16, 1 << 16)
+      CuckooSeenSet.probeAndConfirm(candidates, seenKeys, "url_key", buckets, 16)
+        .select(col("canonical_url"), col("priority_band"))
+    }),
+
+    // Cuckoo deletion: members unseen in place (what bloom cannot do);
+    // deletions half-overlapping the seen set exercise the exact
+    // semi-join gate that protects colliding members
+    "q53_cuckoo_delete" -> ((s, dir) => {
+      val candidates = Scheduler.dedupeWithinBatch(
+        Scheduler.canonicalize(derivedFrontier(s, dir)))
+      def keysWhere(c: Column) = Scheduler.canonicalize(
+        ft(s, dir, "orders").where(c)
+          .select(frontierUrl.as("url"), lit(0).as("priority_band")))
+        .select(col("url_key")).distinct()
+      val seenKeys = keysWhere(pmod(col("o_orderkey"), lit(2)) === 0)
+      val delKeys = keysWhere(pmod(col("o_orderkey"), lit(3)) === 0)
+      val buckets = CuckooSeenSet.buildBuckets(seenKeys, "url_key", 16, 1 << 16)
+      val afterDel = CuckooSeenSet.deleteKeys(buckets, delKeys, "url_key", 16, seenKeys)
+      val remaining = seenKeys.join(delKeys, Seq("url_key"), "left_anti")
+      CuckooSeenSet.probeAndConfirm(candidates, remaining, "url_key", afterDel, 16)
+        .select(col("canonical_url"), col("priority_band"))
     }),
 
     // Hot-host skew: salted two-phase per-host cap ≡ single-window top-cap
@@ -1129,6 +1163,21 @@ object SparkEntry {
         | CAST(3 + GREATEST(CAST(ceil(length(text)/64.0) AS BIGINT), 1) AS BIGINT) AS n_messages,
         | true AS roundtrip_ok
         |FROM documents""".stripMargin,
+
+    "q52_seen_cuckoo_dedupe" ->
+      s"""$dedupedCte
+         |SELECT canonical_url, CAST(priority_band AS INT) AS priority_band FROM d
+         |WHERE canonical_url NOT IN (
+         |  SELECT canonical_url FROM f WHERE o_orderkey % 2 = 0)""".stripMargin,
+
+    // post-delete truth: seen (even keys) minus deleted (multiples of 3);
+    // the odd multiples of 3 in the deletion set were never members and
+    // must be ignored by the semi-join gate
+    "q53_cuckoo_delete" ->
+      s"""$dedupedCte
+         |SELECT canonical_url, CAST(priority_band AS INT) AS priority_band FROM d
+         |WHERE canonical_url NOT IN (
+         |  SELECT canonical_url FROM f WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)""".stripMargin,
 
     "q51_host_cap_salted" ->
       """WITH f AS (
