@@ -564,6 +564,16 @@ object SparkEntry {
         .select(col("id"), col("n_messages"), col("roundtrip_ok"))
     }),
 
+    // CBOR twin of q50: same message run, byte-string chunks, RFC 8742
+    // concatenation framing (reference dataseq.rs CBOR format)
+    "q54_cbor_messages" -> ((s, dir) => {
+      val d = ft(s, dir, "documents")
+      val msgs = graft.ops.MessageCbor.exportCborMessages(d, "doc_id", "text")
+      val parsed = graft.ops.MessageCbor.fromCborSeq(graft.ops.MessageCbor.toCborSeq(msgs))
+      graft.ops.MessageCbor.importValidate(parsed)
+        .select(col("id"), col("n_messages"), col("roundtrip_ok"))
+    }),
+
     // Cuckoo-filter seen set (north rule: deletable fallback to the
     // bloom path) — probe + exact confirm ≡ exact anti-join, same
     // contract as q41
@@ -1178,6 +1188,12 @@ object SparkEntry {
          |SELECT canonical_url, CAST(priority_band AS INT) AS priority_band FROM d
          |WHERE canonical_url NOT IN (
          |  SELECT canonical_url FROM f WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)""".stripMargin,
+
+    "q54_cbor_messages" ->
+      """SELECT doc_id AS id,
+        | CAST(3 + GREATEST(CAST(ceil(length(text)/64.0) AS BIGINT), 1) AS BIGINT) AS n_messages,
+        | true AS roundtrip_ok
+        |FROM documents""".stripMargin,
 
     "q51_host_cap_salted" ->
       """WITH f AS (

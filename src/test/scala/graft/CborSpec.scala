@@ -1,0 +1,108 @@
+package graft
+
+import graft.core.Cbor
+import graft.core.Cbor._
+import graft.ops.MessageCbor
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CBOR codec against the RFC 8949 Appendix A examples, plus the Spark
+  * message-interchange round-trip.
+  */
+class CborSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("RFC 8949 Appendix A integer examples") {
+    val cases = Seq[(Long, String)](
+      0L -> "00", 1L -> "01", 10L -> "0a", 23L -> "17", 24L -> "1818",
+      25L -> "1819", 100L -> "1864", 1000L -> "1903e8",
+      1000000L -> "1a000f4240", 1000000000000L -> "1b000000e8d4a51000",
+      -1L -> "20", -10L -> "29", -100L -> "3863", -1000L -> "3903e7")
+    cases.foreach { case (n, h) =>
+      assert(hex(Cbor.encode(CInt(n))) == h, s"encode $n")
+      val (v, off) = Cbor.decodeOne(Cbor.encode(CInt(n)), 0)
+      assert(v == CInt(n) && off == h.length / 2, s"decode $n")
+    }
+  }
+
+  test("RFC 8949 Appendix A string/array/map examples") {
+    assert(hex(Cbor.encode(CText(""))) == "60")
+    assert(hex(Cbor.encode(CText("a"))) == "6161")
+    assert(hex(Cbor.encode(CText("IETF"))) == "6449455446")
+    assert(hex(Cbor.encode(CBytes(Array[Byte]()))) == "40")
+    assert(hex(Cbor.encode(CBytes(Array[Byte](1, 2, 3, 4)))) == "4401020304")
+    assert(hex(Cbor.encode(CArr(Vector()))) == "80")
+    assert(hex(Cbor.encode(CArr(Vector(CInt(1), CInt(2), CInt(3))))) == "83010203")
+    assert(hex(Cbor.encode(CArr(Vector(CInt(1),
+      CArr(Vector(CInt(2), CInt(3))), CArr(Vector(CInt(4), CInt(5))))))) ==
+      "8301820203820405")
+    assert(hex(Cbor.encode(CMap(Vector()))) == "a0")
+    assert(hex(Cbor.encode(CMap(Vector(CInt(1) -> CInt(2), CInt(3) -> CInt(4))))) ==
+      "a201020304")
+    assert(hex(Cbor.encode(CMap(Vector(
+      CText("a") -> CInt(1),
+      CText("b") -> CArr(Vector(CInt(2), CInt(3))))))) == "a26161016162820203")
+    assert(hex(Cbor.encode(CBool(false))) == "f4")
+    assert(hex(Cbor.encode(CBool(true))) == "f5")
+    assert(hex(Cbor.encode(CNull)) == "f6")
+    // 25-element array crosses the 1-byte length threshold
+    val arr = CArr((1 to 25).map(i => CInt(i.toLong)).toVector)
+    assert(hex(Cbor.encode(arr)).startsWith("9819"))
+    assert(Cbor.decodeOne(Cbor.encode(arr), 0)._1 == arr)
+  }
+
+  test("decodeSeq splits concatenated items; malformed input throws") {
+    val seq = Cbor.encode(CInt(7)) ++ Cbor.encode(CText("hi")) ++
+      Cbor.encode(CMap(Vector(CText("k") -> CBytes(Array[Byte](9)))))
+    val items = Cbor.decodeSeq(seq)
+    assert(items.take(2) == Vector(CInt(7), CText("hi")))
+    // byte-compare CBytes structurally (Array == is reference equality)
+    assert(items(2) match {
+      case CMap(Vector((CText("k"), CBytes(b)))) => b.sameElements(Array[Byte](9))
+      case _ => false
+    })
+    assertThrows[IllegalArgumentException](Cbor.decodeSeq(Array[Byte](0xf8.toByte)))
+    assertThrows[IllegalArgumentException](Cbor.decodeSeq(Array[Byte](0x5f.toByte)))
+  }
+
+  test("message run: export → seq → decode → validate round-trips") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short"),
+      (2L, "x" * 200),   // 4 chunks at ChunkSize=64
+      (3L, ""))          // empty payload → one empty chunk
+      .toDF("id", "payload")
+    val messages = MessageCbor.exportCborMessages(docs, "id", "payload")
+    val seq = MessageCbor.toCborSeq(messages)
+    val validated = MessageCbor.importValidate(MessageCbor.fromCborSeq(seq))
+      .orderBy("id").collect()
+    assert(validated.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(validated.forall(_.getBoolean(3)), "roundtrip_ok must hold for all")
+    // n_messages = Metadata + Header + chunks + BlockEnd
+    assert(validated.map(_.getLong(1)).toSeq == Seq(4L, 7L, 4L))
+    assert(validated.map(_.getString(2)).toSeq == Seq("short", "x" * 200, ""))
+  }
+
+  test("corrupted byte fails the handshake") {
+    import spark.implicits._
+    val docs = Seq((1L, "payload-under-test")).toDF("id", "payload")
+    val seq = MessageCbor.toCborSeq(MessageCbor.exportCborMessages(docs, "id", "payload"))
+    val corrupt = udf((b: Array[Byte]) => {
+      val c = b.clone()
+      // flip a byte inside the chunk DATA (the checksummed region)
+      val payload = "payload-under-test".getBytes("UTF-8")
+      val i = c.indexOfSlice(payload)
+      assert(i >= 0, "chunk bytes not found in seq")
+      c(i) = (c(i) ^ 0x01).toByte
+      c
+    })
+    val validated = MessageCbor.importValidate(
+      MessageCbor.fromCborSeq(seq.select(col("id"), corrupt(col("seq")).as("seq"))))
+    // either decode throws (caught as a query error upstream) or the
+    // checksums mismatch — when it decodes, ok must be false
+    val rows = try validated.collect() catch { case _: Exception => Array.empty[org.apache.spark.sql.Row] }
+    assert(rows.isEmpty || rows.forall(!_.getBoolean(3)))
+  }
+}
