@@ -355,6 +355,16 @@ object SparkEntry {
       Ann.bruteForceTopK(e, e.where(col("vec_id") < 20), 5)
     }),
 
+    // IVF coarse-quantized ANN (list-pruned scale path): sampled
+    // centroids (every 25th vector — deterministic, so the oracle can
+    // re-derive the same quantizer), nProbe=4 of 20 lists, exact rerank
+    "q55_ann_ivf" -> ((s, dir) => {
+      val e = ft(s, dir, "embeddings")
+      val cents = e.where(pmod(col("vec_id"), lit(25)) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Ann.ivfTopK(e, e.where(col("vec_id") < 20), cents, 5, 4)
+    }),
+
     // ANN: multi-band sign-bit LSH near-dup pairs (3 bands × 16 bits,
     // OR-construction), exact-cosine confirmed. Near-dups injected by
     // construction: a half-scaled copy with dims 61-64 sign-flipped keeps
@@ -806,6 +816,11 @@ object SparkEntry {
   private val dotSql =
     "list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
 
+  private def cosSql(a: String, b: String) =
+    s"(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
+    s"(sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) * " +
+    s"sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"
+
   def oracleSql: Map[String, String] = Map(
     "q01_list_project" ->
       s"""SELECT o_orderkey AS position,
@@ -1006,6 +1021,37 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id,
          |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM p
+         |) WHERE rank <= 5""".stripMargin,
+
+    "q55_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings WHERE vec_id % 25 = 0),
+         |corpus AS (SELECT vec_id, embedding AS c_emb FROM embeddings),
+         |assign AS (
+         |  SELECT vec_id, centroid_id AS list_id FROM (
+         |    SELECT c.vec_id, t.centroid_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cosSql("c_emb", "cent_emb")} DESC, t.centroid_id) AS rn
+         |    FROM corpus c, cents t
+         |  ) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |probe AS (
+         |  SELECT query_id, centroid_id AS list_id, qe FROM (
+         |    SELECT q.query_id, t.centroid_id, q.qe,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosSql("qe", "cent_emb")} DESC, t.centroid_id) AS rn
+         |    FROM q, cents t
+         |  ) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("qe", "c_emb")} AS cos
+         |  FROM probe p
+         |  JOIN assign a ON a.list_id = p.list_id
+         |  JOIN corpus c ON c.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored
          |) WHERE rank <= 5""".stripMargin,
 
     "q30_embed_neardup_lsh" -> {

@@ -69,6 +69,60 @@ object Ann {
       .where(col("cos_milli") >= cosMilliThreshold)
   }
 
+  /** IVF (inverted-file) coarse-quantized ANN — the list-pruned scale
+    * path beside the LSH one. Corpus vectors are assigned once to their
+    * highest-cosine centroid's list; a query scores only the `nProbe`
+    * nearest lists and is exactly reranked inside them.
+    *
+    * Scale shape: assignment is a broadcast of the (small) centroid set
+    * against the corpus with a partial-aggregated `max_by` per vector —
+    * one narrow shuffle of (vec_id, list_id), the corpus embeddings never
+    * move; search broadcasts the (query × nProbe) probe set against the
+    * assigned corpus, so at 10^10 vectors only lists actually probed are
+    * scored and nothing shuffles but the per-partition top-k rows.
+    * Centroid-hot lists (imbalanced quantizer) would skew the probe scan;
+    * production centroids come from a k-means refinement pass which
+    * balances them — the quantizer here is pluggable (any
+    * (centroid_id, embedding) table).
+    *
+    * With `nProbe` = number of centroids every list is probed and the
+    * result equals [[bruteForceTopK]] exactly (tested) — the
+    * accuracy/cost dial is explicit.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nProbe: Int): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col("embedding").as("cent_emb"))
+    // assignment: argmax cosine, ties to the smaller centroid id
+    val assigned = corpus
+      .join(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("centroid_id"),
+          struct(cosine(col("embedding"), col("cent_emb")), -col("centroid_id")))
+          .as("list_id"),
+        first(col("embedding")).as("c_emb"))
+    // probe: top-nProbe lists per query
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("centroid_id").asc)
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("q_emb"), col("centroid_id"),
+        cosine(col("q_emb"), col("cent_emb")).as("pcos"))
+      .withColumn("prank", row_number().over(pw))
+      .where(col("prank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id").as("list_id"))
+    // search: exact rerank inside the probed lists only
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("list_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
   /** LSH-bucketed near-duplicate pairs, multi-band OR-construction:
     * candidates share ANY of `bands` sign-bit bucket keys (strided
     * 16-bit hyperoctant keys by default); confirm with exact cosine.
