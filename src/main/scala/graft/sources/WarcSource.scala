@@ -53,6 +53,40 @@ object WarcSource {
       .toDF("file", "n_records", "rat_ok")
   }
 
+  /** S9 byte-seek point lookup (`get`): seek to `position` in `file`,
+    * decode exactly ONE record, optional WARC-Record-ID equality guard
+    * (reference src/app/get.rs:24-92; seek prep src/warc/decode.rs:182-215).
+    * `position` is a raw FILE offset — the start of a record's gzip/zstd
+    * member for record-at-time archives, or the record's first header
+    * byte in a plain `.warc` (format re-detected from the magic at the
+    * seek target). Reads one bounded window through the Hadoop
+    * FileSystem API (hdfs://s3a:// capable): a point read, never a scan.
+    * Returns None past EOF or when the id guard rejects.
+    */
+  def get(spark: SparkSession, file: String, position: Long,
+          id: Option[String] = None, maxBytes: Int = 64 << 20): Option[WarcRecord] = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(path).getLen
+    if (position < 0 || position >= len) return None
+    val toRead = math.min(len - position, maxBytes.toLong).toInt
+    val buf = new Array[Byte](toRead)
+    val in = fs.open(path)
+    try { in.seek(position); in.readFully(buf) } finally in.close()
+    val dec = new WarcBytes.WarcFileDecoder(buf, file)
+    if (!dec.hasNext) None
+    else {
+      val r = dec.next()
+      val recId = r.fields.collectFirst {
+        case f if f.name.equalsIgnoreCase("WARC-Record-ID") => f.value
+      }
+      id match {
+        case Some(want) if !recId.contains(want) => None
+        case _ => Some(r.copy(position = position))
+      }
+    }
+  }
+
   private def binaryFiles(spark: SparkSession, dir: String,
                           glob: String): Dataset[(String, Array[Byte])] = {
     import spark.implicits._

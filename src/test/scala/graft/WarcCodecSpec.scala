@@ -135,6 +135,33 @@ class WarcCodecSpec extends AnyFunSuite {
     assert(dec.toVector.size == 39)
   }
 
+  test("byte-seek get: one record at a raw file offset, id guard " +
+    "(app/get.rs:24-92)") {
+    val records = Synth.warcRecords(round = 7, n = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-get").toString
+    // gzip record-at-time: member start offsets = cumulative member sizes
+    val members = records.map(r => WarcBytes.encodeGzip(Seq(r)))
+    val gzPath = java.nio.file.Paths.get(dir, "g.warc.gz")
+    java.nio.file.Files.write(gzPath, members.toArray.flatten)
+    val gzOffsets = members.scanLeft(0L)(_ + _.length).init
+    // plain: offsets are the records' own positions
+    val plainPath = java.nio.file.Paths.get(dir, "p.warc")
+    java.nio.file.Files.write(plainPath, WarcBytes.encodeRecords(records))
+    records.zipWithIndex.foreach { case (r, i) =>
+      val viaGz = WarcSource.get(spark, gzPath.toString, gzOffsets(i))
+      val viaPlain = WarcSource.get(spark, plainPath.toString, r.position)
+      for (got <- Seq(viaGz, viaPlain)) {
+        assert(got.isDefined, s"record $i not found")
+        assert(got.get.fields == r.fields && got.get.bytes.sameElements(r.bytes))
+      }
+    }
+    val recId = records(2).fields
+      .collectFirst { case f if f.name.equalsIgnoreCase("WARC-Record-ID") => f.value }.get
+    assert(WarcSource.get(spark, gzPath.toString, gzOffsets(2), Some(recId)).isDefined)
+    assert(WarcSource.get(spark, gzPath.toString, gzOffsets(2), Some("<urn:other>")).isEmpty)
+    assert(WarcSource.get(spark, gzPath.toString, 1L << 40).isEmpty) // past EOF
+  }
+
   test("encode rejects Content-Length mismatch (encode.rs:119-132)") {
     val r = Synth.warcRecords(n = 1).head
     val bad = r.copy(bytes = r.bytes ++ Array[Byte](1))
