@@ -23,7 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// the extract sink's conflict markers (⬧) are non-ASCII filename bytes;
+// a POSIX-locale JVM cannot map them through java.nio paths
+// (sun.jnu.encoding follows the process locale, not -D overrides)
+Test / envVars += "LC_ALL" -> "C.UTF-8"
+run / envVars += "LC_ALL" -> "C.UTF-8"
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 16g default for forked mains/tests. Note: bench CHILD JVMs get their

@@ -96,4 +96,48 @@ object ExtractOp {
       .withColumn("conflict_id", xxhash64(col("extracted")))
       .drop("http")
   }
+
+  /** S8 filesystem sink: write the extracted table as a REAL file tree
+    * under `dir`, applying the reference's conflict resolution
+    * (app/extract.rs:186-221 via [[UrlPath.resolveTargetPath]]) against
+    * the live tree through the Hadoop FileSystem API.
+    *
+    * Distribution contract: rows are repartitioned by their FIRST path
+    * component (the host directory), so each host subtree is written by
+    * exactly one task in (position) order — conflict markers are then
+    * deterministic and race-free, matching the reference's sequential
+    * semantics per subtree while hosts write in parallel. Returns the
+    * lineage table (resolved_path, n_bytes).
+    */
+  def writeTree(extracted: DataFrame, dir: String): DataFrame = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    val rows = extracted
+      .select(col("position"), col("path_components"), col("extracted"),
+        col("is_truncated"), col("conflict_id"))
+      .where(col("path_components").isNotNull && size(col("path_components")) > 0)
+      .repartition(element_at(col("path_components"), 1))
+      .sortWithinPartitions(col("position"))
+      .as[(Long, Seq[String], Array[Byte], Boolean, Long)]
+    rows.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(conf)
+      def toPath(cs: Seq[String]) =
+        cs.foldLeft(base)((p, c) => new org.apache.hadoop.fs.Path(p, c))
+      it.map { case (_, components, bytes, truncated, conflictId) =>
+        val resolved = UrlPath.resolveTargetPath(components, truncated, conflictId,
+          pathExists = cs => fs.exists(toPath(cs)),
+          pathIsFile = cs => {
+            val p = toPath(cs)
+            fs.exists(p) && fs.getFileStatus(p).isFile
+          })
+        val target = toPath(resolved)
+        fs.mkdirs(target.getParent)
+        val out = fs.create(target, false)
+        try out.write(bytes) finally out.close()
+        (resolved.mkString("/"), bytes.length.toLong)
+      }
+    }.toDF("resolved_path", "n_bytes")
+  }
 }

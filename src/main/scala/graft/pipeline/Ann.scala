@@ -123,6 +123,81 @@ object Ann {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** Element-wise mean of grouped float arrays — a typed Aggregator so
+    * Lloyd iterations are partial-aggregated map-side (one shuffle row
+    * per (list, partition), never an explode of dims × rows).
+    */
+  private class ArrayMean(dims: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Float], (Array[Double], Long), Seq[Float]] {
+    def zero: (Array[Double], Long) = (new Array[Double](dims), 0L)
+    def reduce(acc: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dims) { acc._1(i) += v(i); i += 1 }
+      (acc._1, acc._2 + 1)
+    }
+    def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dims) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    def finish(acc: (Array[Double], Long)): Seq[Float] =
+      if (acc._2 == 0) Seq.empty
+      else acc._1.map(s => (s / acc._2).toFloat).toSeq
+    def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.javaSerialization[Array[Double]],
+      org.apache.spark.sql.Encoders.scalaLong)
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+  }
+
+  /** Deterministic Lloyd refinement for the IVF quantizer: initialize
+    * from `init` (e.g. evenly-sampled vectors), then `iters` rounds of
+    * assign (broadcast argmax, as in [[ivfTopK]]) + element-wise mean
+    * per list. Empty lists keep their previous centroid (standard
+    * empty-cluster fallback, deterministic). Each iteration is one
+    * broadcast join + one partial-aggregated shuffle of k rows —
+    * embeddings never shuffle at any scale.
+    */
+  def kmeansCentroids(corpus: DataFrame, init: DataFrame, iters: Int,
+                      dims: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val meanUdaf = udaf(new ArrayMean(dims))
+    var cents = init.select(col("centroid_id"), col("embedding"))
+    var i = 0
+    while (i < iters) {
+      val assigned = corpus
+        .join(broadcast(cents.select(col("centroid_id"), col("embedding").as("cent_emb"))))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("centroid_id"),
+            struct(cosine(col("embedding"), col("cent_emb")), -col("centroid_id")))
+            .as("centroid_id"),
+          first(col("embedding")).as("embedding"))
+      val means = assigned.groupBy(col("centroid_id"))
+        .agg(meanUdaf(col("embedding")).as("mean_emb"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          when(col("mean_emb").isNotNull && size(col("mean_emb")) === dims,
+            col("mean_emb")).otherwise(col("embedding")).as("embedding"))
+        .localCheckpoint(eager = true) // truncate the iterative lineage
+      i += 1
+    }
+    cents
+  }
+
+  /** Mean cosine of each vector to its assigned centroid — the
+    * (cosine-flavored) inertia used to check Lloyd improvement.
+    */
+  def quantizerScoreMilli(corpus: DataFrame, centroids: DataFrame): Long = {
+    val cents = centroids.select(col("centroid_id"), col("embedding").as("cent_emb"))
+    val best = corpus.join(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(max(cosine(col("embedding"), col("cent_emb"))).as("best_cos"))
+    best.agg(floor(avg(col("best_cos")) * 1000).cast("long")).head.getLong(0)
+  }
+
   /** LSH-bucketed near-duplicate pairs, multi-band OR-construction:
     * candidates share ANY of `bands` sign-bit bucket keys (strided
     * 16-bit hyperoctant keys by default); confirm with exact cosine.

@@ -38,6 +38,19 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("k-means refinement improves the quantizer score and helps recall") {
+    val corpus = vecs(200)
+    // bad init: 4 centroids all from the SAME anchor cluster (ids ≡ 0 mod 4)
+    val init = corpus.where(col("vec_id").isin(0L, 4L, 8L, 12L))
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val before = Ann.quantizerScoreMilli(corpus, init)
+    val refined = Ann.kmeansCentroids(corpus, init, iters = 4, dims = 8)
+    val after = Ann.quantizerScoreMilli(corpus, refined)
+    assert(refined.count() == 4)
+    assert(after >= before, s"Lloyd made the quantizer worse: $before -> $after")
+    assert(after > before, s"no improvement from a degenerate init: $before -> $after")
+  }
+
   test("pruned probes keep high recall on clustered vectors") {
     val corpus = vecs(120)
     val queries = corpus.where(col("vec_id") < 8)

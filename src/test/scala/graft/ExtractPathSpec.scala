@@ -45,4 +45,29 @@ class ExtractPathSpec extends AnyFunSuite {
   test("conversion marker (extract.rs:104-107)") {
     assert(UrlPath.markConversion("b.html") == "b.html⬧conversion")
   }
+
+  test("writeTree writes a real conflict-resolved tree (one task per host)") {
+    import TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tree").toString
+    // row 2 hits row 1's target → 16-hex conflict suffix; row 3's
+    // intermediate 'a' is now a FILE → ⬧d; row 4 is truncated
+    val df = Seq(
+      (1L, Seq("https", "h.test", "a"), "first".getBytes("UTF-8"), false, 0x1L),
+      (2L, Seq("https", "h.test", "a"), "second".getBytes("UTF-8"), false, 0xabcL),
+      (3L, Seq("https", "h.test", "a", "b.html"), "under".getBytes("UTF-8"), false, 0x2L),
+      (4L, Seq("https", "h.test", "t.bin"), "cut".getBytes("UTF-8"), true, 0x3L))
+      .toDF("position", "path_components", "extracted", "is_truncated", "conflict_id")
+    val lineage = graft.ops.ExtractOp.writeTree(df, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def read(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, p)), "UTF-8")
+    assert(read("https/h.test/a") == "first")
+    assert(read("https/h.test/a⬧0000000000000abc") == "second")
+    assert(read("https/h.test/a⬧d/b.html") == "under")
+    assert(read("https/h.test/t.bin⬧truncated") == "cut")
+    assert(lineage.keySet == Set("https/h.test/a", "https/h.test/a⬧0000000000000abc",
+      "https/h.test/a⬧d/b.html", "https/h.test/t.bin⬧truncated"))
+    assert(lineage("https/h.test/a⬧d/b.html") == 5L)
+  }
 }
