@@ -53,6 +53,47 @@ object FrontierStream {
       .agg(count(lit(1)).as("n_urls"))
       .select(col("window.start").as("win_start"), col("host"), col("n_urls"))
 
+  /** One keyed URL on the discovery stream (url_key = xxhash64 of the
+    * canonical URL, as in the batch path).
+    */
+  final case class KeyedUrl(url_key: Long, canonical_url: String, priority_band: Int)
+
+  /** Per-bucket dedupe state: one serialized cuckoo filter. */
+  final case class BucketState(filter: Array[Byte])
+
+  /** Streaming URL-seen dedupe: emits only first sightings, state = one
+    * cuckoo filter per key bucket (the streaming face of the batch
+    * [[graft.frontier.CuckooSeenSet]] — same keying, and deletable state
+    * if a control stream later needs to unsee).
+    *
+    * State size is O(buckets · filter), NOT O(urls): each bucket holds a
+    * fixed-capacity filter (2 bytes/slot), updated once per bucket per
+    * micro-batch. Approximation contract: a cuckoo false positive
+    * (≈ 0.012% at 16-bit fingerprints) suppresses a genuinely-new URL;
+    * for a crawl frontier that only delays discovery until the batch
+    * reconciliation pass (exact anti-join) recovers it — the streaming
+    * path never emits a duplicate. Production state store: RocksDB
+    * (incremental checkpoints); the HDFS store rewrites each bucket's
+    * filter per batch.
+    */
+  def seenDedupe(urls: Dataset[KeyedUrl], numBuckets: Int = 64,
+                 expectedPerBucket: Long = 1 << 20): Dataset[KeyedUrl] = {
+    import urls.sparkSession.implicits._
+    import graft.frontier.CuckooFilter
+    urls.groupByKey(u => math.floorMod(u.url_key, numBuckets).toLong)
+      .flatMapGroupsWithState[BucketState, KeyedUrl](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[KeyedUrl], state: GroupState[BucketState]) =>
+          val cf = if (state.exists) CuckooFilter.deserialize(state.get.filter)
+                   else CuckooFilter.create(expectedPerBucket)
+          val out = it.filter { u =>
+            !cf.mightContain(u.url_key) && { cf.insert(u.url_key); true }
+          }.toVector // materialize before the state write
+          state.update(BucketState(cf.serialize()))
+          out.iterator
+      }
+  }
+
   /** Stateful politeness: continues the deterministic token-bucket across
     * micro-batches. Within a batch the group is sorted by
     * (priority_band, canonical_url) — the same total order as the batch

@@ -38,6 +38,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming seen-dedupe emits first sightings only, state survives batches") {
+    import graft.streaming.FrontierStream.KeyedUrl
+    val input = MemoryStream[KeyedUrl](spark)
+    def k(n: Long) = KeyedUrl(n * 7919L, s"https://h.test/p/$n", 0)
+    val q = FrontierStream.seenDedupe(input.toDS(), numBuckets = 4,
+        expectedPerBucket = 1 << 10)
+      .writeStream.format("memory").queryName("seen")
+      .outputMode("append").start()
+    try {
+      input.addData(k(1), k(2), k(3), k(2)) // in-batch dup of 2
+      q.processAllAvailable()
+      val b1 = spark.table("seen").as[KeyedUrl].collect().map(_.canonical_url).sorted
+      assert(b1.toSeq == Seq(1, 2, 3).map(n => s"https://h.test/p/$n"))
+      input.addData(k(2), k(3), k(4), k(5)) // 2,3 seen in batch 1
+      q.processAllAvailable()
+      val all = spark.table("seen").as[KeyedUrl].collect().map(_.canonical_url).sorted
+      assert(all.toSeq == Seq(1, 2, 3, 4, 5).map(n => s"https://h.test/p/$n"))
+    } finally q.stop()
+  }
+
   test("within-batch order is (priority_band, canonical_url) — batch parity") {
     val input = MemoryStream[StreamUrl](spark)
     val q = FrontierStream.politenessSchedule(input.toDS())
