@@ -89,18 +89,52 @@ object Ann {
     * result equals [[bruteForceTopK]] exactly (tested) — the
     * accuracy/cost dial is explicit.
     */
+  /** Assignment: nearest-centroid list id per vector — a broadcast
+    * scalar UDF looping the (small, by construction) centroid set once
+    * per row. The declarative twin (`broadcast join + max_by(struct)`)
+    * measured badly: a struct-valued aggregation buffer cannot
+    * hash-aggregate, so Catalyst planned a row-blowup
+    * BroadcastNestedLoopJoin into a SortAggregate (extra sort + exchange
+    * of corpus × centroids rows). Here the corpus stays NARROW — one
+    * projection, no blowup, no shuffle. Double accumulation in array
+    * order matches [[dot]] exactly; ties go to the smaller centroid id.
+    */
+  private def withListId(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val centArr = centroids.select(col("centroid_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(centArr)
+    val assignUdf = udf((emb: Seq[Float]) => {
+      val e = emb.toArray
+      var en = 0.0
+      var i = 0
+      while (i < e.length) { en += e(i).toDouble * e(i); i += 1 }
+      val enorm = math.sqrt(en)
+      var bestId = -1L
+      var bestCos = Double.NegativeInfinity
+      for ((cid, ce) <- bc.value) {
+        var d = 0.0
+        var cn = 0.0
+        var j = 0
+        while (j < e.length) {
+          d += e(j).toDouble * ce(j); cn += ce(j).toDouble * ce(j); j += 1
+        }
+        val denom = enorm * math.sqrt(cn)
+        val cos = if (denom == 0.0) -2.0 else d / denom
+        if (cos > bestCos) { bestCos = cos; bestId = cid } // first max = min id
+      }
+      bestId
+    })
+    corpus.withColumn("list_id", assignUdf(col("embedding")))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, nProbe: Int): DataFrame = {
     val cents = centroids.select(col("centroid_id"), col("embedding").as("cent_emb"))
-    // assignment: argmax cosine, ties to the smaller centroid id
-    val assigned = corpus
-      .join(broadcast(cents))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("centroid_id"),
-          struct(cosine(col("embedding"), col("cent_emb")), -col("centroid_id")))
-          .as("list_id"),
-        first(col("embedding")).as("c_emb"))
+    val assigned = withListId(corpus, centroids)
+      .select(col("vec_id"), col("list_id"), col("embedding").as("c_emb"))
     // probe: top-nProbe lists per query
     val pw = Window.partitionBy("query_id")
       .orderBy(col("pcos").desc, col("centroid_id").asc)
@@ -167,14 +201,8 @@ object Ann {
     var cents = init.select(col("centroid_id"), col("embedding"))
     var i = 0
     while (i < iters) {
-      val assigned = corpus
-        .join(broadcast(cents.select(col("centroid_id"), col("embedding").as("cent_emb"))))
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(col("centroid_id"),
-            struct(cosine(col("embedding"), col("cent_emb")), -col("centroid_id")))
-            .as("centroid_id"),
-          first(col("embedding")).as("embedding"))
+      val assigned = withListId(corpus, cents)
+        .select(col("list_id").as("centroid_id"), col("embedding"))
       val means = assigned.groupBy(col("centroid_id"))
         .agg(meanUdaf(col("embedding")).as("mean_emb"))
       cents = cents.join(means, Seq("centroid_id"), "left")
