@@ -618,6 +618,34 @@ object SparkEntry {
         .select(col("canonical_url"), col("priority_band"))
     }),
 
+    // RFC 9309 robots.txt parse + apply end-to-end: per-host BODIES are
+    // generated text (groups, comments, crawl-delay, allow-overrides);
+    // the oracle re-derives the verdicts from the generation parameters,
+    // so the parser, group selection, and longest-match precedence are
+    // all on the hook
+    "q56_robots_raw" -> ((s, dir) => {
+      val deduped = Scheduler.dedupeWithinBatch(
+        Scheduler.canonicalize(derivedFrontier(s, dir)))
+      val bodies = t(s, dir, "orders")
+        .select(pmod(pmod(col("o_orderkey"), lit(3000)), lit(37)).as("hn")).distinct()
+        .select(
+          concat(lit("h"), col("hn").cast("string"), lit(".example.test")).as("host"),
+          concat(
+            lit("# synthetic robots\nUser-agent: otherbot\nDisallow: /\n\n" +
+              "User-agent: *\nCrawl-delay: "),
+            ((lit(250) * (lit(1) + pmod(col("hn"), lit(4)))) / lit(1000.0))
+              .cast("string"),
+            lit("\n"),
+            when(pmod(col("hn"), lit(7)) === 0, lit("Disallow: /p/1\n")).otherwise(lit("")),
+            when(pmod(col("hn"), lit(14)) === 0, lit("Allow: /p/12\n")).otherwise(lit("")))
+            .as("body"))
+      val withPath = deduped.withColumn("path",
+        regexp_extract(col("canonical_url"),
+          "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+      graft.frontier.Robots.applyRawRobots(withPath, bodies, "graftbot/1.0", 1000L)
+        .select(col("canonical_url"), col("host"), col("crawl_delay_ms"))
+    }),
+
     // Hot-host skew: salted two-phase per-host cap ≡ single-window top-cap
     // (one host holds half the frontier; the salted form never sorts it in
     // one reducer)
@@ -1240,6 +1268,15 @@ object SparkEntry {
         | CAST(3 + GREATEST(CAST(ceil(length(text)/64.0) AS BIGINT), 1) AS BIGINT) AS n_messages,
         | true AS roundtrip_ok
         |FROM documents""".stripMargin,
+
+    // the otherbot group must NOT be selected; the * group's delay is
+    // 250*(1+hn%4) ms; allow /p/12 (longer) beats disallow /p/1
+    "q56_robots_raw" ->
+      s"""$dedupedCte
+         |SELECT canonical_url, host, CAST(250 * (1 + hn % 4) AS BIGINT) AS crawl_delay_ms
+         |FROM d
+         |WHERE NOT (hn % 7 = 0 AND path LIKE '/p/1%'
+         |           AND NOT (hn % 14 = 0 AND path LIKE '/p/12%'))""".stripMargin,
 
     "q51_host_cap_salted" ->
       """WITH f AS (

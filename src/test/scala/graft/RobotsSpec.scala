@@ -1,0 +1,96 @@
+package graft
+
+import graft.frontier.Robots
+import graft.frontier.Robots.Group
+import org.scalatest.funsuite.AnyFunSuite
+
+/** robots.txt parsing + matching per RFC 9309 (groups, longest-match
+  * precedence, wildcards, end anchor, crawl-delay extension).
+  */
+class RobotsSpec extends AnyFunSuite {
+
+  private val body =
+    """# robots for example.test
+      |User-agent: otherbot
+      |Disallow: /
+      |
+      |User-agent: *
+      |Crawl-delay: 0.25
+      |Disallow: /private/
+      |Disallow: /p/1
+      |Allow: /p/12
+      |Disallow: /tmp*.bak$
+      |
+      |User-agent: graftbot
+      |User-agent: graftbot-image
+      |Disallow: /only-graft
+      |Crawl-delay: 2
+      |""".stripMargin
+
+  test("groups parse with shared user-agents, comments stripped") {
+    val gs = Robots.parse(body)
+    assert(gs.length == 3)
+    assert(gs(0) == Group(Vector("otherbot"), Vector(), Vector("/"), None))
+    assert(gs(1).crawlDelayMs.contains(250L))
+    assert(gs(2).agents == Vector("graftbot", "graftbot-image"))
+    assert(gs(2).crawlDelayMs.contains(2000L))
+  }
+
+  test("group selection: longest prefix match, * fallback (§2.2.1)") {
+    val gs = Robots.parse(body)
+    assert(Robots.select(gs, "GraftBot/1.0").get.disallow == Vector("/only-graft"))
+    assert(Robots.select(gs, "graftbot-image/2").get.agents.contains("graftbot-image"))
+    assert(Robots.select(gs, "randombot").get.crawlDelayMs.contains(250L)) // *
+    assert(Robots.select(Seq(gs(0)), "randombot").isEmpty) // no * group
+  }
+
+  test("longest-match precedence: allow beats shorter disallow, tie → allow (§2.2.2)") {
+    val g = Robots.select(Robots.parse(body), "randombot").get
+    assert(!Robots.isAllowed(g, "/p/10"))      // /p/1 disallows
+    assert(Robots.isAllowed(g, "/p/120"))      // /p/12 allow is longer
+    assert(Robots.isAllowed(g, "/p/2"))        // no rule matches
+    assert(!Robots.isAllowed(g, "/private/x"))
+    val tie = Group(Vector("*"), Vector("/a"), Vector("/a"), None)
+    assert(Robots.isAllowed(tie, "/ab")) // equal length → allow
+  }
+
+  test("wildcards and end anchor (§2.2.3)") {
+    val g = Robots.select(Robots.parse(body), "randombot").get
+    assert(!Robots.isAllowed(g, "/tmp/x.bak"))   // /tmp*.bak$ matches
+    assert(!Robots.isAllowed(g, "/tmpfile.bak"))
+    assert(Robots.isAllowed(g, "/tmp/x.bak.old")) // anchor: not at end
+    assert(Robots.matchLen("/a*x$", "/axbx") == 5) // suffix placement, not greedy
+    assert(Robots.matchLen("/a*x$", "/axb") == -1)
+    assert(Robots.matchLen("/*$", "/anything") == 3)
+    assert(Robots.matchLen("/exact$", "/exact") == 7)
+    assert(Robots.matchLen("/exact$", "/exactly") == -1)
+  }
+
+  test("lenient inputs: empty Disallow matches nothing; rules before any UA go to *") {
+    val g1 = Robots.select(Robots.parse("User-agent: *\nDisallow:\n"), "x").get
+    assert(Robots.isAllowed(g1, "/anything"))
+    val g2 = Robots.select(Robots.parse("Disallow: /secret\n"), "x").get
+    assert(!Robots.isAllowed(g2, "/secret/a") && Robots.isAllowed(g2, "/ok"))
+    assert(Robots.verdict(null, "x", "/p", 500L) == (true, 500L))
+    assert(Robots.verdict("junk line\n%%%\n", "x", "/p", 500L) == (true, 500L))
+  }
+
+  test("applyRawRobots: broadcast cache, allowed rows + delay, absent host allowed") {
+    import TestSpark.spark
+    import spark.implicits._
+    val frontier = Seq(
+      ("a.test", "/p/10"), ("a.test", "/p/120"), ("a.test", "/ok"),
+      ("b.test", "/p/10"), // no robots for b.test → allowed, default delay
+      ("c.test", "/x"))    // robots without * group → allowed (no group selected)
+      .toDF("host", "path")
+    val robots = Seq(
+      ("a.test", body),
+      ("c.test", "User-agent: otherbot\nDisallow: /\n")).toDF("host", "body")
+    val out = Robots.applyRawRobots(frontier, robots, "graftbot-image/2.0", 1000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    // graftbot-image group for a.test: only /only-graft disallowed, delay 2000
+    assert(out == Seq(
+      ("a.test", "/ok", 2000L), ("a.test", "/p/10", 2000L), ("a.test", "/p/120", 2000L),
+      ("b.test", "/p/10", 1000L), ("c.test", "/x", 1000L)))
+  }
+}
