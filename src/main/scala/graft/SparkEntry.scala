@@ -748,6 +748,18 @@ object SparkEntry {
     }),
 
     // Multimodal plumbing: decode→meta equality + stub feature extraction
+    // Thumbnail pipeline: decode → resize(24x16) → re-encode in the row's
+    // own format → decode again; gates the full image transcode plumbing
+    // (the oracle checks the decision columns — dims survive the trip)
+    "q57_thumbnails" -> ((s, _) =>
+      Synth.images(s, 120).toDF()
+        .select(col("image_id"), col("fmt"),
+          Multimodal.resizeUdf(col("bytes"), lit(24), lit(16), col("fmt")).as("tbytes"))
+        .select(col("image_id"), col("fmt"),
+          Multimodal.imageMetaUdf(col("tbytes")).as("meta"))
+        .select(col("image_id"), col("fmt"),
+          (col("meta._1") === 24 && col("meta._2") === 16).as("thumb_ok"))),
+
     "q46_media_meta" -> ((s, _) =>
       Synth.images(s, 120).toDF()
         .select(col("image_id"), col("fmt"), col("w"), col("h"),
@@ -1301,6 +1313,12 @@ object SparkEntry {
     "q45_phash_neardup" ->
       """SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
         | true AS has_small_dup
+        |FROM range(0, 120) t(i)""".stripMargin,
+
+    "q57_thumbnails" ->
+      """SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        | CASE CAST(i % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+        | true AS thumb_ok
         |FROM range(0, 120) t(i)""".stripMargin,
 
     "q46_media_meta" ->
