@@ -109,9 +109,12 @@ object Bench {
     def issue(): Unit = if (ready && !dead && !inFlight) {
       writer.println("go"); issued += 1; inFlight = true
     }
-    /** Drain whatever the child has printed; returns completed rounds. */
-    def poll(): Seq[Double] = {
-      val out = Seq.newBuilder[Double]
+    /** Drain whatever the child has printed; returns (roundIdx, sec)
+      * per completed round (indexed at completion so two rounds drained
+      * in one poll keep distinct indices).
+      */
+    def poll(): Seq[(Int, Double)] = {
+      val out = Seq.newBuilder[(Int, Double)]
       var l = lines.poll()
       while (l != null) {
         if (l.startsWith("READY")) ready = true
@@ -120,7 +123,7 @@ object Bench {
             lastRows = m.group(2).toLong
             completed += 1
             inFlight = false
-            out += m.group(1).toDouble
+            out += ((completed, m.group(1).toDouble))
           }
         l = lines.poll()
       }
@@ -225,9 +228,19 @@ object Bench {
     val children = Seq(hiChild, loChild)
 
     def poll(): Unit =
-      for (c <- children; sec <- c.poll()) {
-        trials += Trial(c.cores, c.completed, sec, loadavg())
-        if (c.cores == scaleHigh) scheduled = c.lastRows
+      for (c <- children) {
+        for ((idx, sec) <- c.poll()) {
+          trials += Trial(c.cores, idx, sec, loadavg())
+          if (c.cores == scaleHigh) scheduled = c.lastRows
+        }
+        // a child that died mid-round (OOM, crash) must not leave
+        // inFlight latched — that would starve the OTHER child of all
+        // future rounds through the single-flight guard
+        if (c.dead && c.inFlight) {
+          c.inFlight = false
+          queryErrors(s"scaling_child_c${c.cores}_died") =
+            s"child exited mid-round after ${c.completed} completed rounds"
+        }
       }
 
     /** Issue one round on `c` and wait for it (so every measurement —

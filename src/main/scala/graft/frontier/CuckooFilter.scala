@@ -56,14 +56,21 @@ final class CuckooFilter private (val numBuckets: Int, val slots: Array[Short]) 
   /** Insert; returns false only when the filter is beyond capacity (the
     * kick chain exhausted) — the Spark layer sizes buckets so this is a
     * build-time error, not a silent drop.
+    *
+    * MULTISET semantics, as the paper requires for deletion support: a
+    * colliding fingerprint is stored AGAIN, never deduplicated. (An
+    * "idempotent" insert would make delete unsound for two DISTINCT keys
+    * sharing a (bucket, fingerprint) — deleting one would unsee the
+    * other, a false negative.) Consequence, also from the paper: the
+    * same key must not be inserted more than 2·4 times (both buckets
+    * full of its own copies would livelock the kick chain) — callers
+    * deduplicate keys first ([[CuckooSeenSet.buildBuckets]] does).
     */
   def insert(key: Long): Boolean = {
     val h = mix(key)
     val fp = fingerprint(h)
     val i1 = bucketIndex(h)
     val i2 = altIndex(i1, fp)
-    // idempotent for duplicate keys: already-present fingerprint is a hit
-    if (findInBucket(i1, fp) >= 0 || findInBucket(i2, fp) >= 0) return true
     var slot = emptyInBucket(i1)
     if (slot >= 0) { slots(slot) = fp; return true }
     slot = emptyInBucket(i2)
@@ -138,7 +145,7 @@ object CuckooFilter {
   /** 16-bit nonzero fingerprint from the hash's top bits (disjoint from
     * the low bits used for the bucket index).
     */
-  private[frontier] def fingerprint(h: Long): Short = {
+  private[graft] def fingerprint(h: Long): Short = {
     val fp = ((h >>> 48) & 0xffffL).toInt
     (if (fp == 0) 1 else fp).toShort
   }

@@ -41,9 +41,16 @@ object CuckooSeenSet {
       .as[(Long, Long)]
       .mapPartitions { it =>
         val perBucket = mutable.LongMap.empty[CuckooFilter]
+        // per-partition key dedupe: the filter stores MULTISET copies
+        // (deletion soundness), so each key must be inserted exactly
+        // once; a key's every occurrence lands in this partition
+        // (partitioned by pmod(key)), so a local set is exact
+        val seenKeys = new java.util.HashSet[Long]()
         it.foreach { case (b, k) =>
-          val cf = perBucket.getOrElseUpdate(b, CuckooFilter.create(expectedPerBucket))
-          require(cf.insert(k), s"cuckoo bucket $b over capacity (size for expectedPerBucket)")
+          if (seenKeys.add(k)) {
+            val cf = perBucket.getOrElseUpdate(b, CuckooFilter.create(expectedPerBucket))
+            require(cf.insert(k), s"cuckoo bucket $b over capacity (size for expectedPerBucket)")
+          }
         }
         perBucket.iterator.map { case (b, cf) => (b, cf.serialize()) }
       }
@@ -58,7 +65,10 @@ object CuckooSeenSet {
   def deleteKeys(buckets: DataFrame, deletions: DataFrame, keyCol: String,
                  numBuckets: Int, seenKeys: DataFrame): DataFrame = {
     val spark = buckets.sparkSession
-    val dels = deletions.select(col(keyCol).cast("long").as("k"))
+    // distinct BEFORE the filter mutation: the filter holds exactly one
+    // copy per member key, so a duplicated deletion row must not remove
+    // a second copy (which could be another key's colliding fingerprint)
+    val dels = deletions.select(col(keyCol).cast("long").as("k")).distinct()
       .join(seenKeys.select(col(keyCol).cast("long").as("k")).distinct(), Seq("k"),
         "left_semi")
       .select(bucketOf(col("k"), numBuckets).as("bucket"), col("k"))

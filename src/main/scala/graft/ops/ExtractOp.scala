@@ -116,7 +116,9 @@ object ExtractOp {
       .select(col("position"), col("path_components"), col("extracted"),
         col("is_truncated"), col("conflict_id"))
       .where(col("path_components").isNotNull && size(col("path_components")) > 0)
-      .repartition(element_at(col("path_components"), 1))
+      // [scheme, host] prefix = the disjoint subtree root (the first
+      // component alone is just the scheme — 2 values, no parallelism)
+      .repartition(slice(col("path_components"), 1, 2))
       .sortWithinPartitions(col("position"))
       .as[(Long, Seq[String], Array[Byte], Boolean, Long)]
     rows.mapPartitions { it =>
@@ -125,16 +127,23 @@ object ExtractOp {
       val fs = base.getFileSystem(conf)
       def toPath(cs: Seq[String]) =
         cs.foldLeft(base)((p, c) => new org.apache.hadoop.fs.Path(p, c))
+      // conflict resolution against an IN-MEMORY tree built from the
+      // row set in position order, NOT the live filesystem: a task
+      // retry / speculative copy / second action replays the identical
+      // resolution, and fs.create(overwrite=true) makes the replay
+      // idempotent (live-FS predicates made every retry mint fresh
+      // ⬧-marked duplicates)
+      val files = scala.collection.mutable.HashSet.empty[Seq[String]]
+      val dirs = scala.collection.mutable.HashSet.empty[Seq[String]]
       it.map { case (_, components, bytes, truncated, conflictId) =>
         val resolved = UrlPath.resolveTargetPath(components, truncated, conflictId,
-          pathExists = cs => fs.exists(toPath(cs)),
-          pathIsFile = cs => {
-            val p = toPath(cs)
-            fs.exists(p) && fs.getFileStatus(p).isFile
-          })
+          pathExists = cs => files.contains(cs) || dirs.contains(cs),
+          pathIsFile = files.contains)
+        files += resolved
+        resolved.inits.drop(1).takeWhile(_.nonEmpty).foreach(dirs += _)
         val target = toPath(resolved)
         fs.mkdirs(target.getParent)
-        val out = fs.create(target, false)
+        val out = fs.create(target, true)
         try out.write(bytes) finally out.close()
         (resolved.mkString("/"), bytes.length.toLong)
       }

@@ -69,14 +69,29 @@ object WarcSource {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val len = fs.getFileStatus(path).getLen
     if (position < 0 || position >= len) return None
-    val toRead = math.min(len - position, maxBytes.toLong).toInt
-    val buf = new Array[Byte](toRead)
-    val in = fs.open(path)
-    try { in.seek(position); in.readFully(buf) } finally in.close()
-    val dec = new WarcBytes.WarcFileDecoder(buf, file)
-    if (!dec.hasNext) None
-    else {
-      val r = dec.next()
+    // progressive window: most records are far smaller than maxBytes, so
+    // read 256 KiB and grow 4× on decoder underrun instead of eagerly
+    // fetching the whole cap (a 64 MB ranged GET per point lookup)
+    var window = math.min(256L << 10, maxBytes.toLong)
+    var record: Option[WarcRecord] = None
+    var done = false
+    while (!done) {
+      val toRead = math.min(len - position, window).toInt
+      val buf = new Array[Byte](toRead)
+      val in = fs.open(path)
+      try { in.seek(position); in.readFully(buf) } finally in.close()
+      val atCap = toRead.toLong >= math.min(len - position, maxBytes.toLong)
+      try {
+        val dec = new WarcBytes.WarcFileDecoder(buf, file)
+        record = if (dec.hasNext) Some(dec.next()) else None
+        done = true
+      } catch {
+        case e: Exception =>
+          if (atCap) throw e // malformed even with the full window
+          window *= 4
+      }
+    }
+    record.flatMap { r =>
       val recId = r.fields.collectFirst {
         case f if f.name.equalsIgnoreCase("WARC-Record-ID") => f.value
       }

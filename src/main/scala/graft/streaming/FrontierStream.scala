@@ -87,7 +87,14 @@ object FrontierStream {
           val cf = if (state.exists) CuckooFilter.deserialize(state.get.filter)
                    else CuckooFilter.create(expectedPerBucket)
           val out = it.filter { u =>
-            !cf.mightContain(u.url_key) && { cf.insert(u.url_key); true }
+            !cf.mightContain(u.url_key) && {
+              // loud failure like the batch build: an over-capacity
+              // bucket silently dropping inserts would re-emit every
+              // later sighting as new — a sizing error, not a fallback
+              require(cf.insert(u.url_key),
+                s"cuckoo state bucket over capacity (expectedPerBucket=$expectedPerBucket)")
+              true
+            }
           }.toVector // materialize before the state write
           state.update(BucketState(cf.serialize()))
           out.iterator

@@ -38,11 +38,34 @@ class CuckooSpec extends AnyFunSuite {
     assert(stillThere < 10, s"deleted keys still probing positive: $stillThere/700")
   }
 
-  test("insert is idempotent for duplicate keys; occupancy tracks inserts") {
+  test("multiset inserts: copies are stored, delete removes one at a time") {
     val cf = CuckooFilter.create(100)
-    (1 to 50).foreach(_ => cf.insert(42L))
-    assert(cf.occupied == 1)
-    assert(cf.mightContain(42L) && cf.delete(42L) && !cf.mightContain(42L))
+    assert(cf.insert(42L) && cf.insert(42L))
+    assert(cf.occupied == 2)
+    assert(cf.delete(42L) && cf.mightContain(42L)) // one copy remains
+    assert(cf.delete(42L) && !cf.mightContain(42L))
+  }
+
+  test("delete of one key never unsees a distinct (bucket,fp)-colliding key") {
+    val cf = CuckooFilter.create(100) // small → collisions easy to find
+    // brute-force two DISTINCT keys sharing bucket index and fingerprint
+    val seen = scala.collection.mutable.Map.empty[(Int, Short), Long]
+    var pair: Option[(Long, Long)] = None
+    var i = 0L
+    while (pair.isEmpty && i < 1000000L) {
+      val h = CuckooFilter.mix(i)
+      val sig = (((h % cf.numBuckets) + cf.numBuckets) % cf.numBuckets).toInt ->
+        CuckooFilter.fingerprint(h)
+      seen.get(sig) match {
+        case Some(k0) => pair = Some((k0, i))
+        case None => seen(sig) = i
+      }
+      i += 1
+    }
+    val (k1, k2) = pair.get
+    assert(cf.insert(k1) && cf.insert(k2))
+    assert(cf.delete(k1))
+    assert(cf.mightContain(k2), "deleting k1 must not unsee colliding k2")
   }
 
   test("serialize → deserialize round-trips membership") {

@@ -69,5 +69,18 @@ class ExtractPathSpec extends AnyFunSuite {
     assert(lineage.keySet == Set("https/h.test/a", "https/h.test/a⬧0000000000000abc",
       "https/h.test/a⬧d/b.html", "https/h.test/t.bin⬧truncated"))
     assert(lineage("https/h.test/a⬧d/b.html") == 5L)
+    // replay idempotence: resolution is computed from the ROW SET, not
+    // the live tree — a retry/second action writes the same paths
+    val lineage2 = graft.ops.ExtractOp.writeTree(df, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(lineage2 == lineage)
+    def countFiles(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      // Hadoop's local ChecksumFileSystem writes .crc sidecars — not tree content
+      try s.filter(f => java.nio.file.Files.isRegularFile(f) &&
+        !f.getFileName.toString.endsWith(".crc")).count()
+      finally s.close()
+    }
+    assert(countFiles(java.nio.file.Paths.get(dir)) == 4L)
   }
 }
