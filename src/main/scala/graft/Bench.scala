@@ -348,6 +348,20 @@ object Bench {
           children.exists(c => !c.dead && c.inFlight)
         if (children.exists(_.inFlight)) Thread.sleep(500)
       }
+      // budget surplus: bonus pairs tighten the mins even when the
+      // first pair already passed — cheap insurance against a
+      // lucky-looking single pair on this steal-prone host
+      var bonus = true
+      while (bonus && remaining > 150 &&
+             children.exists(c => c.ready && !c.dead && c.issued < maxRounds)) {
+        val before = trials.size
+        runRound(hiChild, reserve = 110)
+        runRound(loChild, reserve = 40)
+        poll()
+        bonus = trials.size > before || children.exists(c => c.inFlight && !c.dead)
+        if (children.exists(_.inFlight)) Thread.sleep(500)
+      }
+
       // collect any round still in flight until the print floor
       while (children.exists(c => c.inFlight && !c.dead) && remaining > 15) {
         Thread.sleep(500)
