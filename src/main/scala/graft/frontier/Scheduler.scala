@@ -33,10 +33,17 @@ object Scheduler {
 
   /** In-batch dedupe: first sighting wins. Deterministic winner = the
     * lexicographic minimum of (priority_band, url, …rest) per canonical
-    * key — a HASH aggregation with map-side partial min, not a window:
-    * no per-partition sort, partial aggregation collapses duplicates
-    * before the shuffle, and ties are totally ordered (the row_number
-    * formulation sorts every partition and breaks ties arbitrarily).
+    * key — partial aggregation collapses duplicates before the shuffle,
+    * and ties are totally ordered (the row_number formulation sorts
+    * every partition and breaks ties arbitrarily).
+    *
+    * Plan note: `min(struct)` cannot hash-aggregate (struct agg buffers
+    * are immutable), so Catalyst plans partial+final SortAggregate. A
+    * packed-string variant (`min(lpad(band) || url)` → HashAggregate,
+    * re-deriving the other columns from the winner url) was built and
+    * A/B-measured at 16M URLs / 8 cores: 16.5 s vs 14.9 s — SLOWER,
+    * because recomputing the canonicalize UDF on 15.6M winners costs
+    * more than the two sorts save. Kept the struct form.
     */
   def dedupeWithinBatch(canonical: DataFrame): DataFrame = {
     val cols = canonical.columns.toSeq
