@@ -67,6 +67,40 @@ class CborSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Cbor.decodeSeq(Array[Byte](0x5f.toByte)))
   }
 
+  test("property: arbitrary nested values round-trip byte-exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val leaf: Gen[Val] = Gen.oneOf(
+      Gen.choose(Long.MinValue + 1, Long.MaxValue).map(CInt.apply),
+      Gen.asciiPrintableStr.map(CText.apply),
+      Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(b => CBytes(b.toArray)),
+      Gen.oneOf(CBool(true), CBool(false), CNull))
+    def tree(depth: Int): Gen[Val] =
+      if (depth == 0) leaf
+      else Gen.frequency(
+        3 -> leaf,
+        1 -> Gen.listOfN(3, tree(depth - 1)).map(v => CArr(v.toVector)),
+        1 -> Gen.listOfN(2, Gen.zip(Gen.alphaStr.map(CText.apply), tree(depth - 1)))
+          .map(kv => CMap(kv.toVector)))
+    // structural equality with byte-array awareness
+    def eq(a: Val, b: Val): Boolean = (a, b) match {
+      case (CBytes(x), CBytes(y)) => x.sameElements(y)
+      case (CArr(x), CArr(y)) => x.size == y.size && x.zip(y).forall((eq _).tupled)
+      case (CMap(x), CMap(y)) =>
+        x.size == y.size && x.zip(y).forall { case ((k1, v1), (k2, v2)) =>
+          eq(k1, k2) && eq(v1, v2)
+        }
+      case _ => a == b
+    }
+    (1 to 200).foreach { i =>
+      val v = tree(3).apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val enc = Cbor.encode(v)
+      val (dec, off) = Cbor.decodeOne(enc, 0)
+      assert(off == enc.length, s"seed $i: trailing bytes")
+      assert(eq(dec, v), s"seed $i: $v != $dec")
+    }
+  }
+
   test("message run: export → seq → decode → validate round-trips") {
     import spark.implicits._
     val docs = Seq(
