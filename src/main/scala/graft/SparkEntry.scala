@@ -618,6 +618,27 @@ object SparkEntry {
         .select(col("canonical_url"), col("priority_band"))
     }),
 
+    // PayloadDigest verify check (verify.rs:747-785): the payload — HTTP
+    // body for application/http records, the block otherwise — is
+    // re-decoded and hashed against the declared WARC-Payload-Digest.
+    // Injections: every 9th digest computed over corrupted content,
+    // every 11th an unparseable digest text (UnknownDigest)
+    "q58_payload_digest" -> ((s, dir) => {
+      val d = ft(s, dir, "documents")
+      val isHttp = pmod(col("doc_id"), lit(2)) === 0
+      val http = concat(lit("HTTP/1.1 200 OK\r\nContent-Length: "),
+        octet_length(col("text")).cast("string"), lit("\r\n\r\n"), col("text"))
+      val bytes = when(isHttp, http).otherwise(col("text")).cast("binary")
+      val digestBase = when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(col("text"), lit("X"))).otherwise(col("text"))
+      val declaredUdf = udf((t: String) => Digests.formatDigest("sha1",
+        Digests.compute("sha1", t.getBytes("UTF-8")).get))
+      val declared = when(pmod(col("doc_id"), lit(11)) === 0, lit("not!!a@@digest"))
+        .otherwise(declaredUdf(digestBase))
+      d.select(col("doc_id"),
+        VerifyOp.payloadDigestOkUdf(declared, bytes, isHttp).as("payload_ok"))
+    }),
+
     // RFC 9309 robots.txt parse + apply end-to-end: per-host BODIES are
     // generated text (groups, comments, crawl-delay, allow-overrides);
     // the oracle re-derives the verdicts from the generation parameters,
@@ -1280,6 +1301,9 @@ object SparkEntry {
         | CAST(3 + GREATEST(CAST(ceil(length(text)/64.0) AS BIGINT), 1) AS BIGINT) AS n_messages,
         | true AS roundtrip_ok
         |FROM documents""".stripMargin,
+
+    "q58_payload_digest" ->
+      "SELECT doc_id, (doc_id % 9 <> 0 AND doc_id % 11 <> 0) AS payload_ok FROM documents",
 
     // the otherbot group must NOT be selected; the * group's delay is
     // 250*(1+hn%4) ms; allow /p/12 (longer) beats disallow /p/1

@@ -219,4 +219,31 @@ object VerifyOp {
         concat(col("sum_len"), lit(" != "), col("total_len")).as("detail"))
     gap.unionByName(badLen)
   }
+
+  /** PayloadDigest check (reference verify.rs:747-785 + block_data
+    * payload hashing): decode the record's PAYLOAD — the HTTP body for
+    * `application/http` records, the block itself otherwise — and
+    * compare it against the declared `WARC-Payload-Digest`. Returns
+    * null when no digest is declared (check not applicable), false on
+    * an unparseable digest text (the reference's UnknownDigest problem)
+    * or a mismatch. Scalar single-pass like the rule engine.
+    */
+  val payloadDigestOkUdf = org.apache.spark.sql.functions.udf {
+    (declared: String, bytes: Array[Byte], isHttp: Boolean) =>
+      if (declared == null) null.asInstanceOf[java.lang.Boolean]
+      else {
+        val ok = graft.core.Digests.parseDigest(declared) match {
+          case None => false // UnknownDigest
+          case Some((algo, want)) =>
+            val payload =
+              if (isHttp) {
+                val p = graft.ops.HttpOps.parseResponse(bytes)
+                if (p.ok) p.body else null
+              } else bytes
+            payload != null &&
+              graft.core.Digests.compute(algo, payload).exists(_.sameElements(want))
+        }
+        java.lang.Boolean.valueOf(ok)
+      }
+  }
 }
