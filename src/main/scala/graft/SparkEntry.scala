@@ -618,6 +618,32 @@ object SparkEntry {
         .select(col("canonical_url"), col("priority_band"))
     }),
 
+    // Crawl → training-table bridge: WARC resource records carrying real
+    // PNG payloads (every 3rd key) flow extract → imagesFromExtracted
+    // into the BASELINE.json input_hint row shape; text records must be
+    // filtered out by the media-type routing
+    "q59_warc_to_images" -> ((s, dir) => {
+      val isImg = pmod(col("o_orderkey"), lit(3)) === 0
+      val pngUdf = udf((i: Long) => Synth.makeImage(7L, i % 120).bytes)
+      val recs = ft(s, dir, "orders").select(
+        col("o_orderkey").as("position"),
+        lit("img.warc").as("file"), lit("WARC/1.1").as("version"),
+        array(
+          struct(lit("WARC-Record-ID").as("name"),
+            concat(lit("<urn:img:"), col("o_orderkey").cast("string"), lit(">")).as("value")),
+          struct(lit("WARC-Type").as("name"), lit("resource").as("value")),
+          struct(lit("Content-Type").as("name"),
+            when(isImg, lit("image/png")).otherwise(lit("text/plain")).as("value")),
+          struct(lit("WARC-Target-URI").as("name"),
+            concat(lit("https://img.test/i/"), col("o_orderkey").cast("string")).as("value"))
+        ).as("fields"),
+        when(isImg, pngUdf(col("o_orderkey")))
+          .otherwise(col("o_orderpriority").cast("binary")).as("bytes"))
+      graft.pipeline.Multimodal.imagesFromExtracted(ExtractOp.extract(recs))
+        .select(col("image_id"), col("fmt"),
+          (col("w") > 0 && col("h") > 0).as("dims_ok"), col("caption"))
+    }),
+
     // PayloadDigest verify check (verify.rs:747-785): the payload — HTTP
     // body for application/http records, the block otherwise — is
     // re-decoded and hashed against the declared WARC-Payload-Digest.
@@ -1301,6 +1327,11 @@ object SparkEntry {
         | CAST(3 + GREATEST(CAST(ceil(length(text)/64.0) AS BIGINT), 1) AS BIGINT) AS n_messages,
         | true AS roundtrip_ok
         |FROM documents""".stripMargin,
+
+    "q59_warc_to_images" ->
+      """SELECT '<urn:img:' || o_orderkey || '>' AS image_id, 'png' AS fmt,
+        | true AS dims_ok, 'https://img.test/i/' || o_orderkey AS caption
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
 
     "q58_payload_digest" ->
       "SELECT doc_id, (doc_id % 9 <> 0 AND doc_id % 11 <> 0) AS payload_ok FROM documents",

@@ -178,6 +178,34 @@ object Multimodal {
     * scales to 10^10 rows where brute force cannot. Pairs are then
     * confirmed by exact hamming ≤ maxHamming (cheap, bit_count).
     */
+  /** Crawl→training-table bridge: turn an extracted-records table
+    * ([[graft.ops.ExtractOp.extract]] output) into the BASELINE.json
+    * input_hint row shape (image_id, bytes, w, h, fmt, caption, phash).
+    * Rows whose Content-Type parses with type `image` decode via ImageIO; rows
+    * that fail to decode are DROPPED with the `decode_ok=false` flag
+    * available upstream via [[imageMetaUdf]]. Caption carries the
+    * record's WARC-Target-URI here — a production pipeline joins
+    * alt-text/metadata sibling records into the same column; the table
+    * shape is identical either way. All narrow (no shuffle).
+    */
+  def imagesFromExtracted(extracted: DataFrame): DataFrame = {
+    val ct = graft.core.FieldOps.fieldGet(col("fields"), "Content-Type")
+    val mt = graft.core.FieldOps.mediaType(ct)
+    extracted
+      .withColumn("mt", mt)
+      .where(col("mt.ok") && col("mt.type") === "image")
+      .withColumn("meta", imageMetaUdf(col("extracted")))
+      .where(col("meta").isNotNull)
+      .select(
+        graft.core.FieldOps.fieldGet(col("fields"), "WARC-Record-ID").as("image_id"),
+        col("extracted").as("bytes"),
+        col("meta._1").as("w"),
+        col("meta._2").as("h"),
+        col("mt.subtype").as("fmt"),
+        graft.core.FieldOps.fieldGet(col("fields"), "WARC-Target-URI").as("caption"),
+        phashUdf(col("extracted")).as("phash"))
+  }
+
   def phashNearDupPairs(images: DataFrame, maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, "8x8 banding only guarantees recall up to hamming 7")
     val bands = (0 until 8).map(b =>
