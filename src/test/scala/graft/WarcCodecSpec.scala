@@ -162,6 +162,31 @@ class WarcCodecSpec extends AnyFunSuite {
     assert(WarcSource.get(spark, gzPath.toString, 1L << 40).isEmpty) // past EOF
   }
 
+  test("fuzz: random single-byte corruption never mis-frames silently " +
+    "(decode terminates; positions stay strictly increasing)") {
+    val records = Synth.warcRecords(round = 9, n = 8)
+    val plain = WarcBytes.encodeRecords(records)
+    val gz = WarcBytes.encodeGzip(records)
+    var threw = 0
+    for (seed <- 1 to 150; (bytes, name) <- Seq((plain, "p.warc"), (gz, "g.warc.gz"))) {
+      val c = bytes.clone()
+      val pos = math.floorMod(
+        graft.frontier.CuckooFilter.mix(seed.toLong), c.length.toLong).toInt
+      c(pos) = (c(pos) ^ (1 << (seed % 8))).toByte
+      try {
+        val out = new WarcBytes.WarcFileDecoder(c, name).toVector
+        // decoded despite the flip (header junk value, payload byte, …):
+        // framing invariants must still hold
+        assert(out.map(_.position) == out.map(_.position).sorted.distinct,
+          s"seed $seed $name: non-monotonic positions")
+        assert(out.size <= records.size, s"seed $seed $name: phantom records")
+      } catch {
+        case _: Exception => threw += 1 // typestate-style hard error: fine
+      }
+    }
+    assert(threw > 0, "corruption never produced a decode error — checks inert?")
+  }
+
   test("encode rejects Content-Length mismatch (encode.rs:119-132)") {
     val r = Synth.warcRecords(n = 1).head
     val bad = r.copy(bytes = r.bytes ++ Array[Byte](1))
