@@ -12,7 +12,8 @@ object Plans {
     val names = if (args.length > 1) args.drop(1).toSet else Set(
       "q01_list_project", "q05_agg_sum", "q06_join_broadcast",
       "q07_antijoin_refs", "q11_topk_per_key", "q26_politeness_schedule",
-      "q28_host_stats_salted", "q41_seen_bloom_dedupe")
+      "q28_host_stats_salted", "q41_seen_bloom_dedupe",
+      "q52_seen_cuckoo_dedupe", "q55_ann_ivf", "q56_robots_raw")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

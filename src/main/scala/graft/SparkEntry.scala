@@ -644,6 +644,13 @@ object SparkEntry {
           (col("w") > 0 && col("h") > 0).as("dims_ok"), col("caption"))
     }),
 
+    // BPE-style pre-tokenizer count (training-data token budgeting):
+    // same RE2 pattern verbatim in both engines
+    "q60_token_bpe" -> ((s, dir) =>
+      ft(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextOps.tokenCountBpe(col("text")).cast("long").as("n_bpe"))),
+
     // PayloadDigest verify check (verify.rs:747-785): the payload — HTTP
     // body for application/http records, the block otherwise — is
     // re-decoded and hashed against the declared WARC-Payload-Digest.
@@ -1332,6 +1339,12 @@ object SparkEntry {
       """SELECT '<urn:img:' || o_orderkey || '>' AS image_id, 'png' AS fmt,
         | true AS dims_ok, 'https://img.test/i/' || o_orderkey AS caption
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+
+    "q60_token_bpe" ->
+      s"""SELECT doc_id,
+         | CAST(len($wsExpr) AS BIGINT) AS n_ws,
+         | CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS BIGINT) AS n_bpe
+         |FROM documents""".stripMargin,
 
     "q58_payload_digest" ->
       "SELECT doc_id, (doc_id % 9 <> 0 AND doc_id % 11 <> 0) AS payload_ok FROM documents",

@@ -23,6 +23,18 @@ object TextOps {
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(words(text))
 
+  /** BPE-style pre-tokenizer count: the GPT-2 pre-tokenization shape
+    * (optional leading space + letter run | digit run | punctuation run)
+    * without the lookahead clause — RE2-compatible, so the same pattern
+    * runs verbatim in DuckDB and the token counts are cross-engine
+    * exact. Approximates subword-tokenizer budget far better than
+    * whitespace splitting on punctuation-dense text. Narrow, codegen.
+    */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Distinct-token count. */
   def distinctTokenCount(text: Column): Column = size(array_distinct(words(text)))
 
