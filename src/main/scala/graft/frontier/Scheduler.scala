@@ -121,7 +121,16 @@ object Scheduler {
     * dirs (the sandbox stand-in for Iceberg snapshot append).
     */
   def checkpointRound(batches: DataFrame, outDir: String, round: Int): Unit = {
-    batches.write.mode("overwrite").parquet(s"$outDir/rounds/round=$round")
+    // the STORED frontier snapshot is range-partitioned on
+    // (priority_band, host_hash) — the north rule's table layout: band
+    // pruning reads only the files of the bands a consumer wants, and
+    // host ranges spread hot hosts across files. Compute stages keep
+    // the hash(host) layout (see runRound); the range exchange happens
+    // exactly once, at the write.
+    batches
+      .repartitionByRange(col("priority_band"), col("host_hash"))
+      .sortWithinPartitions("priority_band", "host_hash", "scheduled_ms", "canonical_url")
+      .write.mode("overwrite").parquet(s"$outDir/rounds/round=$round")
     batches.select("url_key").distinct()
       .write.mode("overwrite").parquet(s"$outDir/seen/round=$round")
   }
