@@ -155,14 +155,8 @@ object WarcBytes {
     private var pos = 0 // compressed cursor (gzip member loop / plain feed)
     private var pending: Option[WarcRecord] = None
     private var finished = false
-    private lazy val zstdIn: java.io.InputStream = {
-      val (dict, start) = zstdDictFrame(bytes)
-      val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
-        new java.io.ByteArrayInputStream(bytes, start, bytes.length - start))
-      in.setContinuous(true)
-      dict.foreach(in.setDict)
-      in
-    }
+    private var zstdInit = false
+    private var zstdDict: Option[Array[Byte]] = None
     private val chunk = new Array[Byte](65536)
 
     def recordAtTimeOk: Boolean = !ratFault
@@ -203,9 +197,44 @@ object WarcBytes {
             ratFault = true
         }
       case "zstd" =>
-        val n = zstdIn.read(chunk)
-        if (n < 0) { zstdIn.close(); parser.finish(); finished = true }
-        else if (n > 0) parser.append(chunk, 0, n)
+        // frame-at-a-time (not one continuous stream): each frame's
+        // slice decompresses independently so the record-at-time
+        // contract can be checked per frame exactly like gzip members
+        if (!zstdInit) {
+          val (d, start) = zstdDictFrame(bytes)
+          zstdDict = d
+          pos = start
+          zstdInit = true
+        }
+        if (pos >= bytes.length) { parser.finish(); finished = true }
+        else if ({
+          require(pos + 4 <= bytes.length, s"truncated zstd frame magic at offset $pos")
+          (readLe32(bytes, pos) & 0xfffffff0) == 0x184d2a50
+        }) {
+          // a skippable frame after the leading dict frame: skip it
+          require(pos + 8 <= bytes.length, s"truncated skippable frame at offset $pos")
+          pos += 8 + readLe32(bytes, pos + 4)
+        } else {
+          val fsize = com.github.luben.zstd.Zstd.findFrameCompressedSize(
+            bytes, pos, bytes.length - pos)
+          require(fsize > 0 && pos + fsize <= bytes.length,
+            s"truncated/invalid zstd frame at offset $pos")
+          val before = parser.recordsParsed
+          val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+            new java.io.ByteArrayInputStream(bytes, pos, fsize.toInt))
+          try {
+            zstdDict.foreach(in.setDict)
+            var n = in.read(chunk)
+            while (n >= 0) {
+              if (n > 0) parser.append(chunk, 0, n)
+              n = in.read(chunk)
+            }
+          } finally in.close()
+          pos += fsize.toInt
+          // record-at-time contract: one record per frame, boundary-aligned
+          if (!(parser.atRecordBoundary && parser.recordsParsed == before + 1))
+            ratFault = true
+        }
       case other =>
         throw new IllegalArgumentException(s"$file: unsupported format $other")
     }

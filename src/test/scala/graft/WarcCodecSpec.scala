@@ -123,6 +123,14 @@ class WarcCodecSpec extends AnyFunSuite {
     // plain (identity) format: concatenation not applicable → never a fault
     val plain = new WarcBytes.WarcFileDecoder(WarcBytes.encodeRecords(records), "p.warc")
     assert(plain.toVector.size == 6 && plain.recordAtTimeOk)
+    // zstd: one frame per record → ok; all records in ONE frame → fault
+    val zOk = new WarcBytes.WarcFileDecoder(WarcBytes.encodeZstd(records), "ok.warc.zst")
+    assert(zOk.toVector.size == 6 && zOk.recordAtTimeOk)
+    val oneFrame = com.github.luben.zstd.Zstd.compress(WarcBytes.encodeRecords(records), 3)
+    val zFault = new WarcBytes.WarcFileDecoder(oneFrame, "fault.warc.zst")
+    val zDecoded = zFault.toVector
+    assert(zDecoded.size == 6 && zDecoded.map(_.position) == records.map(_.position))
+    assert(!zFault.recordAtTimeOk)
   }
 
   test("streaming decode is incremental: records come out before the " +
