@@ -32,7 +32,10 @@ object MessageCbor {
   case class DecodedMsg(variant: String, file: String, position: Option[Long],
                         version: String, fields: Seq[Seq[String]],
                         data: Array[Byte], crc32: Option[Long],
-                        crc32c: Option[Long], xxh64: Option[Long])
+                        crc32c: Option[Long], xxh64: Option[Long],
+                        has_content: Option[Boolean],
+                        file_path_components: Seq[String],
+                        is_truncated: Option[Boolean])
 
   private def tagged(tag: String, body: Vector[(Val, Val)]): Array[Byte] =
     Cbor.encode(CMap(Vector(CText(tag) -> CMap(body))))
@@ -127,7 +130,13 @@ object MessageCbor {
           case _ => null
         },
         data = mapGet(body, "data").flatMap(asBytes).orNull,
-        crc32 = long("crc32"), crc32c = long("crc32c"), xxh64 = long("xxh64"))
+        crc32 = long("crc32"), crc32c = long("crc32c"), xxh64 = long("xxh64"),
+        has_content = mapGet(body, "has_content").collect { case CBool(b) => b },
+        file_path_components = mapGet(body, "file_path_components") match {
+          case Some(CArr(cs)) => cs.flatMap(asText)
+          case _ => null
+        },
+        is_truncated = mapGet(body, "is_truncated").collect { case CBool(b) => b })
     })
 
   /** Unframe + decode a CBOR sequence: (id, msg_seq, m) with `m` the

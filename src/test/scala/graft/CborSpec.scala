@@ -119,6 +119,30 @@ class CborSpec extends AnyFunSuite {
     assert(validated.map(_.getString(2)).toSeq == Seq("short", "x" * 200, ""))
   }
 
+  test("Extract*/EndOfFile variants decode with their fields (model.rs:5-15 parity)") {
+    import spark.implicits._
+    val seq = Seq(
+      Cbor.encode(CMap(Vector(CText("ExtractMetadata") -> CMap(Vector(
+        CText("has_content") -> CBool(true),
+        CText("file_path_components") -> CArr(Vector(CText("https"), CText("h.test"), CText("a"))),
+        CText("is_truncated") -> CBool(false)))))),
+      Cbor.encode(CMap(Vector(CText("ExtractChunk") -> CMap(Vector(
+        CText("data") -> CBytes("chunk!".getBytes("UTF-8"))))))),
+      Cbor.encode(CMap(Vector(CText("ExtractEnd") -> CMap(Vector(
+        CText("crc32") -> CInt(7), CText("crc32c") -> CInt(8), CText("xxh64") -> CInt(9)))))),
+      Cbor.encode(CMap(Vector(CText("EndOfFile") -> CMap(Vector()))))).reduce(_ ++ _)
+    val parsed = MessageCbor.fromCborSeq(Seq((1L, seq)).toDF("id", "seq"))
+      .selectExpr("msg_seq", "m.variant", "m.has_content", "m.file_path_components",
+        "m.is_truncated", "m.data", "m.crc32c")
+      .orderBy("msg_seq").collect()
+    assert(parsed.map(_.getString(1)).toSeq ==
+      Seq("ExtractMetadata", "ExtractChunk", "ExtractEnd", "EndOfFile"))
+    assert(parsed(0).getBoolean(2) && !parsed(0).getBoolean(4))
+    assert(parsed(0).getSeq[String](3) == Seq("https", "h.test", "a"))
+    assert(new String(parsed(1).getAs[Array[Byte]](5), "UTF-8") == "chunk!")
+    assert(parsed(2).getLong(6) == 8L)
+  }
+
   test("corrupted byte fails the handshake") {
     import spark.implicits._
     val docs = Seq((1L, "payload-under-test")).toDF("id", "payload")
