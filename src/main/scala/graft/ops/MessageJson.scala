@@ -87,6 +87,36 @@ object MessageJson {
   /** The stream-tail EndOfFile message (empty object, model.rs:65). */
   val endOfFile: String = """{"EndOfFile":{}}"""
 
+  /** Export an EXTRACTED table ([[ExtractOp.extract]] output) into each
+    * record's extract-message run — ExtractMetadata, ExtractChunk*,
+    * ExtractEnd — the reference's `get extract` / extract flow
+    * (app/model.rs:10-13): (id, msg_seq, msg). Chunking runs on the raw
+    * BYTES (binary substr), base64 in the chunk JSON.
+    */
+  def exportExtractMessages(extracted: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(extracted.sparkSession)
+    val base = extracted.select(col("position").as("id"),
+      col("extracted").as("payload"), col("path_components"), col("is_truncated"))
+    val nChunks = greatest(
+      ceil(length(col("payload")) / lit(ExportImportOp.ChunkSize.toDouble)).cast("long"),
+      lit(1L))
+    val meta = base.select(col("id"), lit(0L).as("msg_seq"),
+      to_json(struct(struct(
+        (col("payload").isNotNull && length(col("payload")) > 0).as("has_content"),
+        col("path_components").as("file_path_components"),
+        col("is_truncated")).as("ExtractMetadata"))).as("msg"))
+    val chunks = ExportImportOp.exportChunks(base, "id", "payload")
+      .select(col("id"), (col("chunk_idx") + 1L).as("msg_seq"),
+        to_json(struct(struct(
+          base64(col("chunk").cast("binary")).as("data")).as("ExtractChunk"))).as("msg"))
+    val end = base.select(col("id"), (nChunks + 1L).as("msg_seq"),
+      to_json(struct(struct(
+        crc32(col("payload").cast("binary")).as("crc32"),
+        graft.functions.GraftFunctions.crc32c(col("payload").cast("binary")).as("crc32c"),
+        xxhash64(col("payload")).as("xxh64")).as("ExtractEnd"))).as("msg"))
+    meta.unionByName(chunks).unionByName(end)
+  }
+
   /** RFC 7464 framing: one row per id with the record's message run as a
     * JSON-text-sequence (RS json LF, repeated, in msg_seq order).
     */

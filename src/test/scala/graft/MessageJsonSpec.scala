@@ -18,6 +18,34 @@ class MessageJsonSpec extends AnyFunSuite {
     (3L, "x" * 200) // multi-chunk (64-byte chunks)
   ).toDF("doc_id", "text")
 
+  test("extract-message run: ExtractMetadata + chunks + ExtractEnd round-trip") {
+    val extracted = Seq(
+      (10L, "payload-bytes-here".getBytes("UTF-8"), Seq("https", "h.test", "a"), false),
+      (11L, "y".getBytes("UTF-8") ++ Array.fill(130)('z'.toByte), Seq("https", "h.test", "b"), true))
+      .toDF("position", "extracted", "path_components", "is_truncated")
+    val msgs = MessageJson.exportExtractMessages(extracted)
+    val parsed = MessageJson.fromJsonSeq(MessageJson.toJsonSeq(msgs))
+    val rows = parsed.orderBy("id", "msg_seq").collect()
+    val byId = rows.groupBy(_.getLong(0))
+    // run shape: ExtractMetadata, chunks, ExtractEnd
+    val r10 = byId(10L)
+    assert(r10.head.getAs[org.apache.spark.sql.Row]("m").getAs[org.apache.spark.sql.Row]("ExtractMetadata") != null)
+    assert(r10.last.getAs[org.apache.spark.sql.Row]("m").getAs[org.apache.spark.sql.Row]("ExtractEnd") != null)
+    // reassemble chunk data and compare to the original bytes
+    val payload10 = r10.flatMap { r =>
+      val m = r.getAs[org.apache.spark.sql.Row]("m")
+      Option(m.getAs[org.apache.spark.sql.Row]("ExtractChunk"))
+        .map(c => java.util.Base64.getDecoder.decode(c.getString(0)))
+    }.reduce(_ ++ _)
+    assert(new String(payload10, "UTF-8") == "payload-bytes-here")
+    // metadata fields survive (truncation + components)
+    val meta11 = byId(11L).head.getAs[org.apache.spark.sql.Row]("m")
+      .getAs[org.apache.spark.sql.Row]("ExtractMetadata")
+    assert(meta11.getBoolean(0) && meta11.getSeq[String](1) == Seq("https", "h.test", "b")
+      && meta11.getBoolean(2))
+    assert(byId(11L).length == 2 + math.ceil(131 / 64.0).toInt)
+  }
+
   test("export is externally tagged with the reference's variant shapes") {
     val msgs = MessageJson.exportJsonMessages(docs, "doc_id", "text")
       .where(col("id") === 1L).orderBy("msg_seq").collect().map(_.getString(2))
