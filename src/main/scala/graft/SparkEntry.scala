@@ -411,7 +411,7 @@ object SparkEntry {
     // pipeline end-to-end (content-length / 204-no-body / read-to-end with
     // Content-Encoding: zstd / chunked)
     "q35_http_parse" -> ((s, dir) => {
-      val v = pmod(col("doc_id"), lit(4))
+      val v = pmod(col("doc_id"), lit(5))
       val nBytes = length(col("text").cast("binary"))
       val zstdUdf = udf { (t: String) =>
         com.github.luben.zstd.Zstd.compress(
@@ -424,12 +424,18 @@ object SparkEntry {
         .when(v === 2, concat(
           lit("HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\n").cast("binary"),
           zstdUdf(col("text"))))
-        .otherwise(concat(lit("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"),
+        .when(v === 3, concat(lit("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"),
           hex(nBytes), lit("\r\n"), col("text"), lit("\r\n0\r\n\r\n")).cast("binary"))
+        // short-body injection: declared Content-Length exceeds the
+        // available bytes → exact-length framing flags truncated_body
+        .otherwise(concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Length: "),
+          (nBytes + 10).cast("string"), lit("\r\n\r\n"), col("text")).cast("binary"))
       ft(s, dir, "documents")
         .select(col("doc_id"), ExtractOp.parseHttp(payload).as("p"))
         .select(col("doc_id"), col("p.ok").as("ok"),
-          col("p.status").cast("long").as("status"), md5(col("p.body")).as("body_md5"))
+          col("p.status").cast("long").as("status"), md5(col("p.body")).as("body_md5"),
+          col("p.error").as("err"))
     }),
 
     // F6: digest text parse — hex + base32 auto-detect + label alias
@@ -1210,9 +1216,10 @@ object SparkEntry {
         |FROM orders""".stripMargin,
 
     "q35_http_parse" ->
-      """SELECT doc_id, true AS ok,
-        | CAST(CASE doc_id % 4 WHEN 1 THEN 204 ELSE 200 END AS BIGINT) AS status,
-        | CASE doc_id % 4 WHEN 1 THEN md5('') ELSE md5(text) END AS body_md5
+      """SELECT doc_id, (doc_id % 5 <> 4) AS ok,
+        | CAST(CASE doc_id % 5 WHEN 1 THEN 204 ELSE 200 END AS BIGINT) AS status,
+        | CASE doc_id % 5 WHEN 1 THEN md5('') WHEN 4 THEN md5('') ELSE md5(text) END AS body_md5,
+        | CASE doc_id % 5 WHEN 4 THEN 'truncated_body' ELSE '' END AS err
         |FROM documents""".stripMargin,
 
     "q36_digest_parse" ->

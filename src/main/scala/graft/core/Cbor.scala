@@ -65,32 +65,45 @@ object Cbor {
     out.toByteArray
   }
 
-  /** Decode one item at `off`; returns (value, offset past the item).
-    * Throws on malformed/truncated input or unsupported majors
-    * (tags, floats, indefinite lengths) — import treats that as a
-    * corrupt stream, mirroring the reference's hard dataseq error.
+  /** Nesting cap for array/map recursion: a tiny malformed item claiming
+    * deep nesting must fail with a clean error, not StackOverflowError.
     */
-  def decodeOne(b: Array[Byte], off: Int): (Val, Int) = {
-    require(off < b.length, "truncated CBOR item")
+  private val MaxDepth = 512
+
+  /** Decode one item at `off`; returns (value, offset past the item).
+    * Throws IllegalArgumentException on malformed/truncated input,
+    * unsupported majors (tags, floats, indefinite lengths), or nesting
+    * past [[MaxDepth]] — import treats that as a corrupt stream,
+    * mirroring the reference's hard dataseq error.
+    */
+  def decodeOne(b: Array[Byte], off: Int): (Val, Int) = decodeOne(b, off, 0)
+
+  private def decodeOne(b: Array[Byte], off: Int, depth: Int): (Val, Int) = {
+    require(off >= 0 && off < b.length, "truncated CBOR item")
+    require(depth <= MaxDepth, s"CBOR nesting deeper than $MaxDepth")
     val ib = b(off) & 0xff
     val major = ib >> 5
     val info = ib & 0x1f
-    def argAndNext: (Long, Int) = info match {
-      case n if n < 24 => (n.toLong, off + 1)
-      case 24 => (b(off + 1) & 0xffL, off + 2)
-      case 25 => (((b(off + 1) & 0xffL) << 8) | (b(off + 2) & 0xffL), off + 3)
-      case 26 =>
+    def argAndNext: (Long, Int) = {
+      // bounds-check multi-byte arguments: truncated input must surface
+      // as the documented clean error, not ArrayIndexOutOfBoundsException
+      val width = info match {
+        case n if n < 24 => 0
+        case 24 => 1
+        case 25 => 2
+        case 26 => 4
+        case 27 => 8
+        case other => throw new IllegalArgumentException(
+          s"unsupported CBOR additional info $other (indefinite lengths not emitted)")
+      }
+      require(off + 1 + width <= b.length, "truncated CBOR argument")
+      if (width == 0) (info.toLong, off + 1)
+      else {
         var v = 0L
         var i = 1
-        while (i <= 4) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
-        (v, off + 5)
-      case 27 =>
-        var v = 0L
-        var i = 1
-        while (i <= 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
-        (v, off + 9)
-      case other => throw new IllegalArgumentException(
-        s"unsupported CBOR additional info $other (indefinite lengths not emitted)")
+        while (i <= width) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+        (v, off + 1 + width)
+      }
     }
     major match {
       case 0 => val (n, nx) = argAndNext; (CInt(n), nx)
@@ -105,19 +118,21 @@ object Cbor {
         (CText(new String(b, nx, len.toInt, "UTF-8")), nx + len.toInt)
       case 4 =>
         val (len, nx0) = argAndNext
+        require(len <= b.length - nx0, "truncated array (length exceeds input)")
         var nx = nx0
         val items = Vector.newBuilder[Val]
         var i = 0L
-        while (i < len) { val (v, n2) = decodeOne(b, nx); items += v; nx = n2; i += 1 }
+        while (i < len) { val (v, n2) = decodeOne(b, nx, depth + 1); items += v; nx = n2; i += 1 }
         (CArr(items.result()), nx)
       case 5 =>
         val (len, nx0) = argAndNext
+        require(len <= (b.length - nx0) / 2, "truncated map (length exceeds input)")
         var nx = nx0
         val kvs = Vector.newBuilder[(Val, Val)]
         var i = 0L
         while (i < len) {
-          val (k, n2) = decodeOne(b, nx)
-          val (v, n3) = decodeOne(b, n2)
+          val (k, n2) = decodeOne(b, nx, depth + 1)
+          val (v, n3) = decodeOne(b, n2, depth + 1)
           kvs += ((k, v)); nx = n3; i += 1
         }
         (CMap(kvs.result()), nx)

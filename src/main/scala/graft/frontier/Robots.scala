@@ -76,6 +76,10 @@ object Robots {
 
   /** RFC 9309 §2.2.1 group selection: longest agent token that prefixes
     * the product token (case-insensitive); `*` only when nothing matches.
+    * Per §2.2.1 "combine the rules" — ALL groups whose agent set matches
+    * the chosen token merge (and all `*` groups merge for the fallback),
+    * so a robots.txt with two `User-agent: *` blocks keeps both blocks'
+    * Allow/Disallow lines. Crawl-delay: first defined wins.
     */
   def select(groups: Seq[Group], userAgent: String): Option[Group] = {
     val ua = userAgent.toLowerCase
@@ -84,8 +88,17 @@ object Robots {
       a <- g.agents
       if a != "*" && ua.startsWith(a)
     } yield (a.length, g)
-    scored.sortBy(-_._1).headOption.map(_._2)
-      .orElse(groups.find(_.agents.contains("*")))
+    def merge(gs: Seq[Group]): Option[Group] = gs match {
+      case Seq() => None
+      case gs => Some(Group(gs.flatMap(_.agents).distinct,
+        gs.flatMap(_.allow), gs.flatMap(_.disallow),
+        gs.flatMap(_.crawlDelayMs).headOption))
+    }
+    val bestLen = scored.map(_._1).maxOption
+    bestLen.flatMap(len => merge(scored.collect {
+        case (l, g) if l == len => g
+      }.distinct))
+      .orElse(merge(groups.filter(_.agents.contains("*"))))
   }
 
   /** Pattern match with `*` wildcards and `$` end anchor (§2.2.3).

@@ -88,8 +88,13 @@ object HttpOps {
         else Right(rawBody) // unframed response: read to end
       } else headerGet(headers, "Content-Length") match {
         case Some(cl) if cl.forall(_.isDigit) && cl.nonEmpty =>
-          val n = math.min(cl.toLong, rawBody.length.toLong).toInt
-          Right(rawBody.take(n))
+          // exact-length framing like the reference: a body shorter than
+          // the declared Content-Length is a truncation error, not a
+          // silent prefix (the reference's recv loop would block on the
+          // missing bytes; in whole-payload context that's corruption)
+          val n = cl.toLong
+          if (n > rawBody.length) Left("truncated_body")
+          else Right(rawBody.take(n.toInt))
         case Some(_) => Left("invalid_content_length")
         case None    => Right(rawBody) // response without framing: read to end
       }

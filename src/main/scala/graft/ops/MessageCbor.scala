@@ -80,7 +80,11 @@ object MessageCbor {
           array(lit("WARC-Record-ID"),
             concat(lit("<urn:graft:"), col("id").cast("string"), lit(">"))),
           array(lit("WARC-Type"), lit("resource")),
-          array(lit("Content-Length"), length(col("payload")).cast("string"))))
+          // octets, not chars: importValidate compares against
+          // length(payload_bin) — the BYTE count of the reassembled
+          // binary — and WARC Content-Length is octets; a char count
+          // here broke round-trips of non-ASCII payloads
+          array(lit("Content-Length"), octet_length(col("payload")).cast("string"))))
         .as("msg"))
     val chunks = ExportImportOp.exportChunks(df, idCol, payloadCol)
       .select(col("id"), (col("chunk_idx") + 2L).as("msg_seq"),

@@ -211,9 +211,16 @@ object WarcBytes {
           require(pos + 4 <= bytes.length, s"truncated zstd frame magic at offset $pos")
           (readLe32(bytes, pos) & 0xfffffff0) == 0x184d2a50
         }) {
-          // a skippable frame after the leading dict frame: skip it
+          // a skippable frame after the leading dict frame: skip it.
+          // Size is an UNSIGNED le32 — a signed read of a corrupted
+          // high-bit size moved pos BACKWARDS (infinite decode loop);
+          // also require strict forward progress inside the buffer
           require(pos + 8 <= bytes.length, s"truncated skippable frame at offset $pos")
-          pos += 8 + readLe32(bytes, pos + 4)
+          val skipLen = readLe32(bytes, pos + 4) & 0xffffffffL
+          val next = pos.toLong + 8L + skipLen
+          require(next > pos && next <= bytes.length,
+            s"truncated/invalid skippable frame at offset $pos (size $skipLen)")
+          pos = next.toInt
         } else {
           val fsize = com.github.luben.zstd.Zstd.findFrameCompressedSize(
             bytes, pos, bytes.length - pos)
@@ -407,16 +414,18 @@ object WarcBytes {
   private[sources] def zstdDictFrame(bytes: Array[Byte]): (Option[Array[Byte]], Int) = {
     import com.github.luben.zstd.Zstd
     if (bytes.length >= 8 && readLe32(bytes, 0) == ZstdDictFrameMagic) {
-      val len = readLe32(bytes, 4)
+      // unsigned size: a signed read of a corrupt high-bit size would
+      // pass the bound check with a negative value and yield an empty dict
+      val len = readLe32(bytes, 4) & 0xffffffffL
       require(8 + len <= bytes.length, "truncated zstd dictionary frame")
-      val payload = bytes.slice(8, 8 + len)
+      val payload = bytes.slice(8, (8 + len).toInt)
       val dict =
         if (payload.length >= 4 && payload.take(4).sameElements(ZstdMagic)) {
           val size = Zstd.getFrameContentSize(payload)
           require(size > 0, "compressed dictionary without content size")
           Zstd.decompress(payload, size.toInt)
         } else payload
-      (Some(dict), 8 + len)
+      (Some(dict), (8 + len).toInt)
     } else (None, 0)
   }
 

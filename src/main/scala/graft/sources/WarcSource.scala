@@ -88,7 +88,9 @@ object WarcSource {
       } catch {
         case e: Exception =>
           if (atCap) throw e // malformed even with the full window
-          window *= 4
+          // clamp growth so a maxBytes off the 256KiB·4^n ladder is
+          // never overshot (an unclamped 4× could read ~4× the cap once)
+          window = math.min(window * 4, maxBytes.toLong)
       }
     }
     record.flatMap { r =>

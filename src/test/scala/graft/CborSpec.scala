@@ -101,6 +101,44 @@ class CborSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated multi-byte arguments and deep nesting fail cleanly") {
+    // header byte promises an 8-byte argument, buffer has 3: must be the
+    // documented IllegalArgumentException, not ArrayIndexOutOfBounds
+    for (bad <- Seq(
+        Array(0x1b, 0x00, 0x00).map(_.toByte),          // uint64 arg cut short
+        Array(0x19, 0x01).map(_.toByte),                // uint16 arg cut short
+        Array(0x5a, 0xff, 0xff, 0xff, 0xff).map(_.toByte), // bytes len 4G, no data
+        Array(0x9b, 0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte))) {
+      val e = intercept[IllegalArgumentException](Cbor.decodeOne(bad, 0))
+      assert(e.getMessage.contains("truncated") || e.getMessage.contains("nesting"),
+        s"${hex(bad)}: ${e.getMessage}")
+    }
+    // 1000 nested single-element arrays (0x81 ...) in 1001 bytes: the
+    // depth cap must reject it instead of StackOverflowError
+    val deep = Array.fill(1000)(0x81.toByte) :+ 0x00.toByte
+    val e = intercept[IllegalArgumentException](Cbor.decodeOne(deep, 0))
+    assert(e.getMessage.contains("nesting"))
+    // well-formed nesting below the cap still decodes
+    val ok = Array.fill(100)(0x81.toByte) :+ 0x07.toByte
+    assert(Cbor.decodeOne(ok, 0)._2 == ok.length)
+  }
+
+  test("non-ASCII payloads round-trip (Content-Length in octets, not chars)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "héllo wörld — ünïcode"),     // 2-byte UTF-8 sequences
+      (2L, "日本語テキスト" * 20),          // 3-byte sequences, multi-chunk
+      (3L, "emoji 😀 mix"))     // 4-byte astral pair
+      .toDF("id", "payload")
+    val seq = MessageCbor.toCborSeq(MessageCbor.exportCborMessages(docs, "id", "payload"))
+    val validated = MessageCbor.importValidate(MessageCbor.fromCborSeq(seq))
+      .orderBy("id").collect()
+    assert(validated.forall(_.getBoolean(3)),
+      "roundtrip_ok must hold for non-ASCII payloads")
+    assert(validated.map(_.getString(2)).toSeq ==
+      Seq("héllo wörld — ünïcode", "日本語テキスト" * 20, "emoji 😀 mix"))
+  }
+
   test("message run: export → seq → decode → validate round-trips") {
     import spark.implicits._
     val docs = Seq(

@@ -70,6 +70,14 @@ class HttpOpsSpec extends AnyFunSuite {
     assert(p.ok && p.body.sameElements(body))
   }
 
+  test("body shorter than Content-Length → truncated_body error") {
+    val p = resp("HTTP/1.1 200 OK\r\nContent-Length: 50\r\n\r\nonly-15-bytes..")
+    assert(!p.ok && p.error == "truncated_body" && p.body.isEmpty)
+    // exact length still fine; 204 ignores Content-Length entirely
+    assert(resp("HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nok").ok)
+    assert(resp("HTTP/1.1 204 No Content\r\nContent-Length: 50\r\n\r\n").ok)
+  }
+
   test("unsupported encoding → error (error.rs:388-390)") {
     val p = resp("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\nContent-Length: 2\r\n\r\nxx")
     assert(!p.ok && p.error == "unsupported_encoding:br")

@@ -75,6 +75,31 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.verdict("junk line\n%%%\n", "x", "/p", 500L) == (true, 500L))
   }
 
+  test("multiple matching groups MERGE their rules (RFC 9309 §2.2.1)") {
+    // two `User-agent: *` blocks: both blocks' rules must apply
+    val twoStar = Robots.parse(
+      "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\nCrawl-delay: 3\n")
+    val g = Robots.select(twoStar, "anybot").get
+    assert(!Robots.isAllowed(g, "/a/x") && !Robots.isAllowed(g, "/b/x"))
+    assert(Robots.isAllowed(g, "/c"))
+    assert(g.crawlDelayMs.contains(3000L))
+    // stray rules before any User-agent line (implicit * group) must NOT
+    // shadow a later explicit `User-agent: *` group — they merge
+    val implicitStar = Robots.parse(
+      "Disallow: /early\n\nUser-agent: *\nDisallow: /late\nAllow: /early/ok\n")
+    val g2 = Robots.select(implicitStar, "anybot").get
+    assert(!Robots.isAllowed(g2, "/early/x") && !Robots.isAllowed(g2, "/late/x"))
+    assert(Robots.isAllowed(g2, "/early/ok"))
+    // merge is per chosen token: two graftbot groups merge, but the
+    // shorter-prefix match and * groups stay out of the merged set
+    val specific = Robots.parse(
+      "User-agent: graftbot\nDisallow: /g1\n\nUser-agent: graftbot\nDisallow: /g2\n" +
+        "\nUser-agent: graft\nDisallow: /short\n\nUser-agent: *\nDisallow: /star\n")
+    val g3 = Robots.select(specific, "graftbot/1.0").get
+    assert(!Robots.isAllowed(g3, "/g1") && !Robots.isAllowed(g3, "/g2"))
+    assert(Robots.isAllowed(g3, "/short") && Robots.isAllowed(g3, "/star"))
+  }
+
   test("applyRawRobots: broadcast cache, allowed rows + delay, absent host allowed") {
     import TestSpark.spark
     import spark.implicits._

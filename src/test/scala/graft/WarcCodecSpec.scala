@@ -175,8 +175,11 @@ class WarcCodecSpec extends AnyFunSuite {
     val records = Synth.warcRecords(round = 9, n = 8)
     val plain = WarcBytes.encodeRecords(records)
     val gz = WarcBytes.encodeGzip(records)
+    val zst = WarcBytes.encodeZstd(records,
+      dict = Some("crawl frontier dict".getBytes("UTF-8")))
     var threw = 0
-    for (seed <- 1 to 150; (bytes, name) <- Seq((plain, "p.warc"), (gz, "g.warc.gz"))) {
+    for (seed <- 1 to 150;
+         (bytes, name) <- Seq((plain, "p.warc"), (gz, "g.warc.gz"), (zst, "z.warc.zst"))) {
       val c = bytes.clone()
       val pos = math.floorMod(
         graft.frontier.CuckooFilter.mix(seed.toLong), c.length.toLong).toInt
@@ -193,6 +196,33 @@ class WarcCodecSpec extends AnyFunSuite {
       }
     }
     assert(threw > 0, "corruption never produced a decode error — checks inert?")
+  }
+
+  test("zstd skippable frame with high-bit size fails cleanly, never loops") {
+    val records = Synth.warcRecords(n = 2)
+    val frames = WarcBytes.encodeZstd(records)
+    // splice a skippable frame between the two content frames with a
+    // corrupt size whose high bit is set: a signed parse moved pos
+    // BACKWARDS and decoded forever; must now fail as truncated/invalid
+    val firstLen = com.github.luben.zstd.Zstd
+      .findFrameCompressedSize(frames, 0, frames.length).toInt
+    def le32(v: Long): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    val evil = frames.take(firstLen) ++
+      le32(0x184d2a50L) ++ le32(0xfffffff0L) ++ frames.drop(firstLen)
+    val t = new Thread(() => {
+      val e = intercept[Exception](new WarcBytes.WarcFileDecoder(evil, "e.warc.zst").toVector)
+      assert(e.getMessage.contains("skippable frame"))
+    })
+    t.setDaemon(true)
+    t.start()
+    t.join(30000)
+    assert(!t.isAlive, "decoder still running after 30 s — infinite skip loop")
+    // a VALID zero-length mid-stream skippable frame still skips fine
+    val benign = frames.take(firstLen) ++
+      le32(0x184d2a50L) ++ le32(0L) ++ frames.drop(firstLen)
+    val out = new WarcBytes.WarcFileDecoder(benign, "b.warc.zst").toVector
+    assert(out.size == records.size)
   }
 
   test("encode rejects Content-Length mismatch (encode.rs:119-132)") {
