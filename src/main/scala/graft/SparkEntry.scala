@@ -338,6 +338,69 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_urls"))
     }),
 
+    // J2 direct gate: derived continuation chains (8 segments per chain
+    // over row_number(orders)); injections = drop segment 3 of full
+    // chains where chain%5==0 (missing_segment) and +1 on the declared
+    // total where chain%7==0 (mismatched_segment_length). The oracle
+    // reproduces the construction, so VerifyOp.segmentProblems' grouping,
+    // contiguity check, and length sum are all value-gated.
+    "q62_segments_verify" -> ((s, dir) => {
+      val w = Window.orderBy("o_orderkey")
+      val seg = ft(s, dir, "orders").select(col("o_orderkey"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(((col("rk") - 1) / 8).cast("long").as("c"),
+          (pmod(col("rk") - 1, lit(8)) + 1).as("n"),
+          (lit(100) + pmod(col("rk"), lit(50))).as("len"))
+      val totals = seg.groupBy("c")
+        .agg(sum("len").as("chain_sum"), max("n").as("chain_max"))
+      val kept = seg.join(totals, "c")
+        .where(!(pmod(col("c"), lit(5)) === 0 && col("n") === 3 && col("chain_max") === 8))
+      val originId = concat(lit("<urn:seg:"), col("c"), lit(":1>"))
+      val records = kept.select(
+        filter(array(
+          struct(lit("WARC-Record-ID").as("name"),
+            concat(lit("<urn:seg:"), col("c"), lit(":"), col("n"), lit(">")).as("value")),
+          struct(lit("Content-Length").as("name"), col("len").cast("string").as("value")),
+          struct(lit("WARC-Segment-Number").as("name"), col("n").cast("string").as("value")),
+          when(col("n") > 1,
+            struct(lit("WARC-Segment-Origin-ID").as("name"), originId.as("value"))),
+          when(col("n") === col("chain_max"),
+            struct(lit("WARC-Segment-Total-Length").as("name"),
+              (col("chain_sum") +
+                when(pmod(col("c"), lit(7)) === 0, 1).otherwise(0)).cast("string").as("value")))
+        ), x => x.isNotNull).as("fields"))
+      VerifyOp.segmentProblems(records)
+    }),
+
+    // §2.11 streaming driver gate: the SAME input as q26 through the
+    // stateful politeness stream in TWO micro-batches (split on
+    // priority_band, preserving the per-host total order), so the
+    // cross-batch HostState continuation must reproduce the batch
+    // schedule exactly — the oracle IS q26's scheduledCte. The
+    // MemoryStream feed is a driver-side test harness, not a data path.
+    "q63_stream_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val deduped = Scheduler.dedupeWithinBatch(Scheduler.canonicalize(derivedFrontier(s, dir)))
+      val robotted = Politeness.applyRobots(deduped, derivedRobots(s, dir))
+      val rows = robotted.select(col("canonical_url"), col("host"),
+          col("priority_band").cast("int"), col("crawl_delay_ms").cast("long"))
+        .as[(String, String, Int, Long)].collect()
+        .map { case (u, h, b, d) => graft.streaming.FrontierStream.StreamUrl(
+          u, h, b, d, new java.sql.Timestamp(1700000000000L)) }
+      val (b1, b2) = rows.partition(_.priority_band < 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.FrontierStream.StreamUrl](s)
+      val name = "q63_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.FrontierStream.politenessSchedule(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).select(col("canonical_url"), col("host"), col("host_seq"),
+        col("scheduled_ms").cast("long").as("scheduled_ms"))
+    }),
+
     // Skew: salted two-phase host aggregation (== plain groupBy result)
     "q28_host_stats_salted" -> ((s, dir) => {
       val f = ft(s, dir, "orders").select(
@@ -702,8 +765,16 @@ object SparkEntry {
       val withPath = deduped.withColumn("path",
         regexp_extract(col("canonical_url"),
           "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
-      graft.frontier.Robots.applyRawRobots(withPath, bodies, "graftbot/1.0", 1000L)
+      // gate BOTH size-aware paths: broadcast (default) and distributed
+      // (forced via maxBroadcastBytes=0). Any row where the two disagree
+      // survives an exceptAll and breaks the oracle hash; when they
+      // agree the result IS the broadcast rows.
+      def run(maxBc: Long) = graft.frontier.Robots
+        .applyRawRobots(withPath, bodies, "graftbot/1.0", 1000L, maxBroadcastBytes = maxBc)
         .select(col("canonical_url"), col("host"), col("crawl_delay_ms"))
+      val bcast = run(256L << 20)
+      val dist = run(0L)
+      bcast.unionAll(dist.exceptAll(bcast)).unionAll(bcast.exceptAll(dist))
     }),
 
     // Hot-host skew: salted two-phase per-host cap ≡ single-window top-cap
@@ -805,6 +876,94 @@ object SparkEntry {
           digestOk(FieldOps.fieldGet(col("fields"), "WARC-Block-Digest"),
             col("bytes")).as("digest_ok"))
         .crossJoin(broadcast(ratOk))
+    }),
+
+    // Record-boundary splitter (S11): ONE .warc.gz, one record per order
+    // key with an incompressible payload (so file size tracks sf — ~30 MB
+    // at sf0.01, ~300 MB at the bench sf0.1), decoded by ceil(len/2MB)
+    // byte-range tasks. Gates: payload length + block digest per record,
+    // distinct member offsets, and >1 scan task (split_ok)
+    "q61_warc_split" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warc-split-q").toString
+      val recs = t(s, dir, "orders").select(col("o_orderkey")).as[Long].map { k =>
+        val len = 1600 + (k % 7L).toInt * 137
+        val bytes = new Array[Byte](len)
+        val rng = new Synth.Rng(k * 0x9e3779b9L + 7L)
+        var j = 0
+        while (j < len) { bytes(j) = rng.nextLong().toByte; j += 1 }
+        graft.core.WarcRecord(0L, "big.warc.gz", "WARC/1.1", Seq(
+          Field("WARC-Record-ID", s"<urn:split:$k>"),
+          Field("WARC-Type", "resource"),
+          Field("WARC-Block-Digest", Digests.formatDigest("sha1",
+            Digests.compute("sha1", bytes).get)),
+          Field("Content-Length", len.toString)), bytes)
+      }
+      graft.sources.WarcSource.write(recs.repartition(1), tmp, gzip = true)
+      // the big file (≥100 MB at bench scale) must not accrete in /tmp
+      new java.io.File(tmp).listFiles().foreach(_.deleteOnExit())
+      new java.io.File(tmp).deleteOnExit()
+      val file = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).head.toString
+      val ds = graft.sources.WarcSplit.readSplit(s, file, splitBytes = 2L << 20).toDF()
+      val checks = ds.withColumn("pid", spark_partition_id())
+        .agg((countDistinct(col("position")) === count(lit(1))).as("pos_ok"),
+          (countDistinct(col("pid")) > 1).as("split_ok"))
+      val recId = regexp_extract(
+        FieldOps.fieldGet(col("fields"), "WARC-Record-ID"), "<urn:split:([0-9]+)>", 1)
+        .cast("long")
+      val digestOk = udf { (declared: String, bytes: Array[Byte]) =>
+        Digests.computeText("sha1", bytes).contains(declared)
+      }
+      ds.select(recId.as("rec_id"),
+          (length(col("bytes")) === (lit(1600) + pmod(recId, lit(7)) * 137)).as("len_ok"),
+          digestOk(FieldOps.fieldGet(col("fields"), "WARC-Block-Digest"),
+            col("bytes")).as("digest_ok"))
+        .crossJoin(broadcast(checks))
+    }),
+
+    // S8 extract-tree gate: REAL tree write with injected marker classes
+    // — conversion (k%17), truncated (k%11), and natural name conflicts
+    // (path keyed on k%7 × k%100). The lineage table is classified by
+    // final-component markers and grouped; the oracle recomputes group
+    // sizes (first writer unmarked, rest ⬧<hex16>) and byte sums from
+    // orders. Tree goes to a FIXED dir (overwrite-idempotent), so runs
+    // never accrete files; lineage comes from the written rows, not an
+    // FS listing, so stale files can't pollute the result.
+    "q64_extract_tree" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val records = ft(s, dir, "orders").select(
+        k.as("position"),
+        filter(array(
+          struct(lit("WARC-Record-ID").as("name"),
+            concat(lit("<urn:x:"), k.cast("string"), lit(">")).as("value")),
+          struct(lit("WARC-Type").as("name"),
+            when(pmod(k, lit(17)) === 0, lit("conversion"))
+              .otherwise(lit("resource")).as("value")),
+          struct(lit("WARC-Target-URI").as("name"),
+            concat(lit("https://h"), pmod(k, lit(7)).cast("string"),
+              lit(".example.test/f/"), pmod(k, lit(100)).cast("string")).as("value")),
+          struct(lit("Content-Type").as("name"), lit("text/plain").as("value")),
+          when(pmod(k, lit(11)) === 0,
+            struct(lit("WARC-Truncated").as("name"), lit("length").as("value")))
+        ), x => x.isNotNull).as("fields"),
+        concat(lit("payload "), k.cast("string")).cast("binary").as("bytes"))
+      val treeDir = s"/tmp/graft-extract-tree-gate/${new java.io.File(dir).getName}"
+      val lineage = ExtractOp.writeTree(ExtractOp.extract(records), treeDir)
+      val parts = split(col("resolved_path"), "/")
+      val fin = element_at(parts, -1)
+      val base = regexp_replace(fin, "⬧[0-9a-f]{16}$", "")
+      val base2 = regexp_replace(base, "⬧truncated$", "")
+      lineage.select(
+          element_at(parts, 2).as("host"),
+          regexp_replace(base2, "⬧conversion$", "").as("fname"),
+          base2.endsWith("⬧conversion").as("is_conv"),
+          base.endsWith("⬧truncated").as("is_trunc"),
+          fin.rlike("⬧[0-9a-f]{16}$").cast("long").as("conflicted"),
+          col("n_bytes"))
+        .groupBy("host", "fname", "is_conv", "is_trunc")
+        .agg(count(lit(1)).as("n_total"), sum("conflicted").as("n_conflict"),
+          sum("n_bytes").as("sum_bytes"))
     }),
 
     // Multimodal plumbing: decode→meta equality + stub feature extraction
@@ -1096,6 +1255,32 @@ object SparkEntry {
     "q26_politeness_schedule" ->
       s"""$scheduledCte
          |SELECT canonical_url, host, host_seq, scheduled_ms FROM sched""".stripMargin,
+
+    // the streaming politeness path must reproduce the batch schedule —
+    // same oracle as q26
+    "q63_stream_schedule" ->
+      s"""$scheduledCte
+         |SELECT canonical_url, host, host_seq, scheduled_ms FROM sched""".stripMargin,
+
+    "q62_segments_verify" ->
+      """WITH r AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS rk FROM orders),
+        |seg AS (SELECT CAST((rk-1)//8 AS BIGINT) AS c, CAST((rk-1)%8+1 AS BIGINT) AS n,
+        |               CAST(100 + rk%50 AS BIGINT) AS len FROM r),
+        |tot AS (SELECT c, sum(len) AS chain_sum, max(n) AS chain_max FROM seg GROUP BY c),
+        |kept AS (SELECT s.c, s.n, s.len FROM seg s JOIN tot t ON s.c=t.c
+        |         WHERE NOT (s.c % 5 = 0 AND s.n = 3 AND t.chain_max = 8)),
+        |agg AS (SELECT k.c, count(*) AS n_segs, max(k.n) AS max_n, sum(k.len) AS sum_len
+        |        FROM kept k GROUP BY k.c),
+        |fin AS (SELECT a.c, a.n_segs, a.max_n, a.sum_len,
+        |               t.chain_sum + CASE WHEN a.c % 7 = 0 THEN 1 ELSE 0 END AS total_len
+        |        FROM agg a JOIN tot t ON a.c = t.c)
+        |SELECT '<urn:seg:' || c || ':1>' AS origin_id, 'missing_segment' AS kind,
+        |       'have ' || n_segs || ' of ' || max_n AS detail
+        |FROM fin WHERE max_n <> n_segs
+        |UNION ALL
+        |SELECT '<urn:seg:' || c || ':1>' AS origin_id, 'mismatched_segment_length' AS kind,
+        |       sum_len || ' != ' || total_len AS detail
+        |FROM fin WHERE sum_len <> total_len""".stripMargin,
 
     "q27_fetch_batches" ->
       s"""$scheduledCte
@@ -1406,6 +1591,25 @@ object SparkEntry {
       """SELECT CAST(i AS BIGINT) AS record_idx, true AS offset_ok,
         | (i % 9 <> 0) AS digest_ok, true AS rat_ok
         |FROM range(0, 100) t(i)""".stripMargin,
+
+    "q61_warc_split" ->
+      """SELECT o_orderkey AS rec_id, true AS len_ok, true AS digest_ok,
+        | true AS pos_ok, true AS split_ok
+        |FROM orders""".stripMargin,
+
+    "q64_extract_tree" ->
+      """WITH g AS (
+        |  SELECT 'h' || (o_orderkey%7) || '.example.test' AS host,
+        |         CAST(o_orderkey%100 AS VARCHAR) AS fname,
+        |         (o_orderkey % 17 = 0) AS is_conv,
+        |         (o_orderkey % 11 = 0) AS is_trunc,
+        |         length('payload ' || o_orderkey) AS nb
+        |  FROM orders
+        |)
+        |SELECT host, fname, is_conv, is_trunc,
+        |  count(*) AS n_total, CAST(count(*) - 1 AS BIGINT) AS n_conflict,
+        |  CAST(sum(nb) AS BIGINT) AS sum_bytes
+        |FROM g GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q48_mark_revisits" ->
       """WITH aug AS (

@@ -146,14 +146,37 @@ object Robots {
       case Some(g) => (isAllowed(g, path), g.crawlDelayMs.getOrElse(defaultDelayMs))
     }
 
-  /** Apply raw robots bodies to a frontier: broadcast the (host, body)
-    * cache, parse ONCE PER HOST on the executor (lazy per-JVM map), and
-    * keep only allowed URLs with their crawl delay attached. `frontier`
-    * needs (host, path) columns; hosts absent from the cache are allowed
-    * at the default delay (no robots.txt = no restrictions).
+  /** Apply raw robots bodies to a frontier: keep only allowed URLs with
+    * their crawl delay attached. `frontier` needs (host, path) columns;
+    * hosts absent from the cache are allowed at the default delay (no
+    * robots.txt = no restrictions).
+    *
+    * SIZE-AWARE path selection (the [[SeenSet.probeAndConfirm]] pattern):
+    * a small body table broadcasts and the frontier stays un-shuffled
+    * ([[applyRawRobotsBroadcast]]); past `maxBroadcastBytes` the bodies
+    * parse per-host IN EXECUTORS and the compiled rule table shuffle-joins
+    * the frontier on `host` ([[applyRawRobotsDistributed]]) — a 10^8-host
+    * crawl's 0.1–1 TB of robots bodies must never funnel through driver
+    * memory. The politeness window downstream shuffles on `host` anyway,
+    * so the distributed join introduces no extra frontier exchange beyond
+    * the one that stage already needs. Both paths produce identical rows.
     */
   def applyRawRobots(frontier: DataFrame, robotsBodies: DataFrame,
-                     userAgent: String, defaultDelayMs: Long = 1000L): DataFrame = {
+                     userAgent: String, defaultDelayMs: Long = 1000L,
+                     maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val totalBytes = robotsBodies
+      .agg(coalesce(sum(octet_length(col("body"))), lit(0L))).head.getLong(0)
+    if (totalBytes <= maxBroadcastBytes)
+      applyRawRobotsBroadcast(frontier, robotsBodies, userAgent, defaultDelayMs)
+    else applyRawRobotsDistributed(frontier, robotsBodies, userAgent, defaultDelayMs)
+  }
+
+  /** Broadcast path: collect the (host, body) cache, parse ONCE PER HOST
+    * on the executor (lazy per-JVM map); the frontier stays narrow.
+    */
+  private[frontier] def applyRawRobotsBroadcast(
+      frontier: DataFrame, robotsBodies: DataFrame,
+      userAgent: String, defaultDelayMs: Long): DataFrame = {
     val spark = frontier.sparkSession
     val bodies = robotsBodies.select(col("host"), col("body")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -165,6 +188,35 @@ object Robots {
       .where(col("robots._1"))
       .withColumn("crawl_delay_ms", col("robots._2"))
       .drop("robots")
+  }
+
+  /** Distributed path: parse + group-select each body WHERE IT LIVES (one
+    * scalar UDF over the host-cardinality body table — never through the
+    * driver), then shuffle-join the compiled (allow, disallow, delay)
+    * rule table on `host`. Rule rows are tiny (compiled prefixes, not
+    * bodies), so the join's build side stays small per host; the
+    * per-URL work is the same [[isAllowed]] match as the broadcast path.
+    */
+  private[frontier] def applyRawRobotsDistributed(
+      frontier: DataFrame, robotsBodies: DataFrame,
+      userAgent: String, defaultDelayMs: Long): DataFrame = {
+    val compileUdf = udf { (body: String) =>
+      select(parse(body), userAgent)
+        .map(g => (g.allow, g.disallow, g.crawlDelayMs.getOrElse(defaultDelayMs)))
+    }
+    val rules = robotsBodies
+      .select(col("host"), compileUdf(col("body")).as("g"))
+      .where(col("g").isNotNull) // no group selected ≡ host absent: allowed
+    val allowedUdf = udf { (allow: Seq[String], disallow: Seq[String], path: String) =>
+      isAllowed(Group(Nil, allow, disallow, None), path)
+    }
+    frontier
+      .join(rules, Seq("host"), "left")
+      .where(col("g").isNull || allowedUdf(col("g._1"), col("g._2"), col("path")))
+      .withColumn("crawl_delay_ms", coalesce(col("g._3"), lit(defaultDelayMs)))
+      // same column order as the broadcast path (a USING join moves the
+      // key first; callers must see one shape from both paths)
+      .select(frontier.columns.map(col) :+ col("crawl_delay_ms"): _*)
   }
 
   /** Executor-side cache: each host's body parses once per JVM, not once

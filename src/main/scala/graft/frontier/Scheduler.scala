@@ -56,6 +56,16 @@ object Scheduler {
       .select(cols.map(c => col(s"m.$c").as(c)): _*)
   }
 
+  /** Batches a host may fill in one round before the default cap holds
+    * back its tail: default cap = perHostBudget × this. At the default
+    * budget (100) that is 10k URLs/host/round — far above any polite
+    * per-round fetch capacity, so the cap only ever trims DEGENERATE
+    * hosts (the 10^8-URL host that would otherwise tail-stall the
+    * politeness window's one reducer); trimmed URLs simply stay in the
+    * frontier for later rounds.
+    */
+  val DefaultMaxBatchesPerHost = 100
+
   /** One full scheduling round. `seenKeys` may be empty (first round).
     * Returns the batch-ready frontier, hash-partitioned by host (whole
     * hosts per partition) and sorted within partitions by
@@ -63,10 +73,15 @@ object Scheduler {
     * (host_seq, scheduled_ms, batch_id) is a deterministic function of the
     * input at any parallelism; only the partition file layout varies with
     * the partition count.
+    *
+    * `maxPerHostPerRound`: -1 (default) = skew-safe auto cap of
+    * perHostBudget × [[DefaultMaxBatchesPerHost]] URLs per host per
+    * round; 0 = explicit opt-OUT (uncapped — one degenerate host can
+    * serialize the politeness window's reducer); >0 = exact cap.
     */
   def runRound(rawFrontier: DataFrame, seenKeys: DataFrame, robots: DataFrame,
                perHostBudget: Int = 100, numBloomBuckets: Int = 64,
-               maxPerHostPerRound: Int = 0): DataFrame = {
+               maxPerHostPerRound: Int = -1): DataFrame = {
     val canon = dedupeWithinBatch(canonicalize(rawFrontier))
     val fresh =
       if (seenKeys.isEmpty) canon
@@ -75,11 +90,16 @@ object Scheduler {
         SeenSet.probeAndConfirm(canon, seenKeys, "url_key", buckets, numBloomBuckets)
       }
     val robotted = Politeness.applyRobots(fresh, robots)
-    // optional hot-host round cap (salted two-phase top-k): bounds the
-    // politeness window's largest partition so one 10^8-URL host can't
-    // tail-stall the stage; 0 = uncapped
+    // hot-host round cap ON BY DEFAULT (salted two-phase top-k): bounds
+    // the politeness window's largest partition so one 10^8-URL host
+    // can't tail-stall the stage; its phase-2 window shares partitioning
+    // AND sort order with the politeness window below, so the cap adds
+    // exactly one (host, salt) exchange, not two
+    val cap =
+      if (maxPerHostPerRound < 0) perHostBudget * DefaultMaxBatchesPerHost
+      else maxPerHostPerRound
     val polite =
-      if (maxPerHostPerRound > 0) Politeness.capPerHost(robotted, maxPerHostPerRound)
+      if (cap > 0) Politeness.capPerHost(robotted, cap)
       else robotted
     // ONE exchange feeds the politeness window: the window's own
     // hash-partitioning on host already makes scheduling partition-local

@@ -252,7 +252,7 @@ object WarcBytes {
     * trailer (the reference's start_next_segment bookkeeping,
     * compress.rs:174-196, decode.rs:733-753).
     */
-  private def inflateMember(bytes: Array[Byte], pos0: Int, parser: RecordParser): Int = {
+  private[sources] def inflateMember(bytes: Array[Byte], pos0: Int, parser: RecordParser): Int = {
     require(pos0 + 2 <= bytes.length &&
       bytes(pos0) == GzipMagic(0) && bytes(pos0 + 1) == GzipMagic(1),
       s"bad gzip magic at offset $pos0")
@@ -448,7 +448,7 @@ object WarcBytes {
   /** Skip a gzip member header starting AFTER the 2 magic bytes; returns
     * the offset of the deflate data.
     */
-  private def skipGzipHeader(bytes: Array[Byte], start: Int): Int = {
+  private[sources] def skipGzipHeader(bytes: Array[Byte], start: Int): Int = {
     def u8(i: Int): Int = {
       if (i >= bytes.length) throw new EOFException("truncated gzip header")
       bytes(i) & 0xff

@@ -1,0 +1,187 @@
+package graft.sources
+
+import graft.core.WarcRecord
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import java.io.EOFException
+import java.util.zip.Inflater
+
+/** Record-boundary splitter for ONE large record-at-time `.warc.gz` file
+  * (SURVEY §2.1 near-miss closed): N byte-range tasks per file instead of
+  * one task per file. The enabler is the record-at-time contract — each
+  * record is its own gzip member (reference compress.rs:62-76), so member
+  * starts ARE record boundaries (the reference's record_boundary_position
+  * bookkeeping, decode.rs:51-56) and any task can start decoding at the
+  * first member magic at-or-after its range start with zero coordination.
+  *
+  * Split protocol (the classic Hadoop input-split convention): a member
+  * whose START offset lies in [start, end) belongs to that task, even when
+  * its bytes run past `end` — so every member is decoded by exactly one
+  * task and the union over tasks is the whole file.
+  *
+  * Boundary detection: gzip magic `1f 8b 08` is validated by inflating a
+  * small prefix and checking it yields `WARC/` — a magic inside deflate
+  * data fails validation (and even a pathological false positive would
+  * fail record framing loudly, never silently misparse).
+  *
+  * `position` here is the member's COMPRESSED file offset — the byte-seek
+  * offset [[WarcSource.get]] accepts — because a mid-file task cannot know
+  * cumulative UNCOMPRESSED offsets without decoding everything before it.
+  * Whole-file [[WarcSource.read]] keeps the uncompressed-offset semantics;
+  * the two are documented twins.
+  *
+  * Memory per task: one range buffer (≤ splitBytes + 1 KiB validation
+  * tail) + one record. Plain/zstd single files fall back to
+  * [[WarcSource.read]] (per-file parallelism).
+  */
+object WarcSplit {
+
+  /** Pad read past a range end so a boundary just before `end` can be
+    * VALIDATED (gzip header + enough deflate to prove "WARC/").
+    */
+  private val ValidationTail = 1024
+
+  /** True when `buf(i)` starts a genuine record-at-time member: gzip
+    * magic + deflate method, and the member's first plaintext bytes are
+    * `WARC/`. Insufficient bytes to prove it → false (caller re-reads
+    * with more tail if it matters).
+    */
+  private[graft] def isMemberStart(buf: Array[Byte], i: Int): Boolean =
+    i + 10 <= buf.length &&
+      buf(i) == WarcBytes.GzipMagic(0) && buf(i + 1) == WarcBytes.GzipMagic(1) &&
+      buf(i + 2) == 8 && {
+        val inf = new Inflater(true)
+        try {
+          val dataStart = WarcBytes.skipGzipHeader(buf, i + 2)
+          inf.setInput(buf, dataStart, math.min(buf.length - dataStart, ValidationTail))
+          val out = new Array[Byte](5)
+          var got = 0
+          var stuck = false
+          while (got < 5 && !inf.finished() && !stuck) {
+            val n = inf.inflate(out, got, 5 - got)
+            if (n == 0) stuck = true else got += n
+          }
+          got == 5 && new String(out, "US-ASCII") == "WARC/"
+        } catch { case _: Exception => false }
+        finally inf.end()
+      }
+
+  /** Index of the first validated member start at-or-after `from`;
+    * -1 when none exists in the buffer.
+    */
+  private[graft] def findMemberStart(buf: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 3 <= buf.length) {
+      if (buf(i) == 0x1f.toByte && buf(i + 1) == 0x8b.toByte && buf(i + 2) == 8 &&
+        isMemberStart(buf, i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode every member whose start offset lies in [start, end).
+    * `readRange(off, n)` must return exactly the file bytes [off, off+n).
+    * A member extending past the buffered range triggers a targeted
+    * re-read from the member start with geometric growth up to
+    * `maxRecordBytes` (the [[WarcSource.get]] window discipline).
+    */
+  private[graft] def decodeRange(readRange: (Long, Int) => Array[Byte], fileLen: Long,
+                                   start: Long, end: Long, file: String,
+                                   maxRecordBytes: Int = 64 << 20): Iterator[WarcRecord] = {
+    if (start >= fileLen) return Iterator.empty
+    val endB = math.min(end, fileLen)
+    var bufStart = start
+    var buf = readRange(start, (math.min(endB + ValidationTail, fileLen) - start).toInt)
+
+    val first =
+      if (start == 0L) {
+        require(buf.length >= 2 && WarcBytes.detectFormat(buf) == "gzip",
+          s"$file: not a gzip WARC (use WarcSource.read for plain/zstd)")
+        0L
+      } else {
+        val rel = findMemberStart(buf, 0)
+        if (rel < 0 || start + rel >= endB) -1L else start + rel
+      }
+
+    new Iterator[WarcRecord] {
+      private var abs = first
+      private val pending = scala.collection.mutable.Queue.empty[WarcRecord]
+
+      private def decodeMemberAt(offset: Long): Unit = {
+        var window = (bufStart + buf.length - offset).toInt
+        var done = false
+        while (!done) {
+          val rel = (offset - bufStart).toInt
+          val parser = new WarcBytes.RecordParser(file)
+          try {
+            val relNext = WarcBytes.inflateMember(buf, rel, parser)
+            parser.finish() // record-at-time: member ends ON a boundary
+            var r = parser.next()
+            require(r.nonEmpty, s"$file: empty gzip member at offset $offset")
+            while (r.nonEmpty) { // tolerate multi-record members like read()
+              pending += r.get.copy(position = offset)
+              r = parser.next()
+            }
+            abs = bufStart + relNext
+            done = true
+          } catch {
+            case e @ (_: EOFException | _: IllegalArgumentException) =>
+              // truncated by the buffer edge vs genuinely malformed: only
+              // a re-read with more bytes can tell — grow geometrically
+              val atFileEnd = bufStart + buf.length >= fileLen
+              if (atFileEnd || window >= maxRecordBytes) throw e
+              window = math.min(math.max(window * 2, 1 << 20),
+                math.min(fileLen - offset, maxRecordBytes.toLong).toInt)
+              buf = readRange(offset, window)
+              bufStart = offset
+          }
+        }
+      }
+
+      override def hasNext: Boolean = {
+        while (pending.isEmpty && abs >= 0 && abs < endB) decodeMemberAt(abs)
+        pending.nonEmpty
+      }
+
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("end of split")
+        pending.dequeue()
+      }
+    }
+  }
+
+  /** Read ONE record-at-time `.warc.gz` file with `ceil(len/splitBytes)`
+    * parallel range tasks. Each task scans for its first member boundary
+    * and decodes members starting inside its range — per-RANGE
+    * parallelism where [[WarcSource.read]] only has per-FILE parallelism,
+    * so a single multi-GB archive saturates a cluster instead of one
+    * core. `position` = compressed member offset (see object doc).
+    */
+  def readSplit(spark: SparkSession, file: String, splitBytes: Long = 128L << 20,
+                maxRecordBytes: Int = 64 << 20): Dataset[WarcRecord] = {
+    import spark.implicits._
+    require(splitBytes > 0, "splitBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileLen = fs.getFileStatus(path).getLen
+    val nSplits = math.max(1L, (fileLen + splitBytes - 1) / splitBytes).toInt
+    val fileStr = path.toString
+    val rdd = spark.sparkContext
+      .parallelize(0 until nSplits, nSplits)
+      .flatMap { i =>
+        // executor-side Configuration, like WarcSource.write: picks up
+        // the cluster's fs.* settings from the classpath
+        val p = new org.apache.hadoop.fs.Path(fileStr)
+        val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        def readRange(off: Long, n: Int): Array[Byte] = {
+          val a = new Array[Byte](n)
+          val in = efs.open(p)
+          try { in.seek(off); in.readFully(a) } finally in.close()
+          a
+        }
+        decodeRange(readRange, fileLen, i * splitBytes,
+          math.min((i + 1L) * splitBytes, fileLen), fileStr, maxRecordBytes)
+      }
+    spark.createDataset(rdd)
+  }
+}

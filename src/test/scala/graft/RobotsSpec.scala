@@ -117,5 +117,16 @@ class RobotsSpec extends AnyFunSuite {
     assert(out == Seq(
       ("a.test", "/ok", 2000L), ("a.test", "/p/10", 2000L), ("a.test", "/p/120", 2000L),
       ("b.test", "/p/10", 1000L), ("c.test", "/x", 1000L)))
+    // forcing the DISTRIBUTED path (size threshold 0) must give the same
+    // rows in the same column order — no driver collect of the bodies
+    val dist = Robots.applyRawRobots(frontier, robots, "graftbot-image/2.0", 1000L,
+      maxBroadcastBytes = 0L)
+    assert(dist.columns.toSeq == Seq("host", "path", "crawl_delay_ms"))
+    assert(dist.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq == out)
+    // and with a default-delay host whose group DISALLOWS: both paths drop it
+    val f2 = Seq(("a.test", "/only-graft/secret")).toDF("host", "path")
+    assert(Robots.applyRawRobots(f2, robots, "graftbot/1.0", 9L).count() == 0)
+    assert(Robots.applyRawRobots(f2, robots, "graftbot/1.0", 9L, 0L).count() == 0)
   }
 }

@@ -56,6 +56,38 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.count(_._1 == "hot.example.test") == 20)
   }
 
+  test("runRound caps a degenerate host BY DEFAULT; opt-out keeps all rows") {
+    import graft.frontier.Scheduler
+    // 50% of the frontier on one hot host
+    val frontier = (0 until 3000).map { i =>
+      val host = if (i % 2 == 0) "hot" else s"h${i % 7}"
+      (f"https://$host.example.test/p/$i%04d", i % 4)
+    }.toDF("url", "priority_band")
+    val robots = Seq.empty[(String, Long, Seq[String])]
+      .toDF("host", "crawl_delay_ms", "disallow_prefixes")
+    val seen = Scheduler.loadSeen(spark, "/tmp/graft-skewspec-none")
+    // perHostBudget=5 → default cap = 5 × DefaultMaxBatchesPerHost = 500
+    val out = Scheduler.runRound(frontier, seen, robots, perHostBudget = 5)
+    val byHost = out.groupBy("host").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHost("hot.example.test") == 500L,
+      s"hot host not capped: ${byHost("hot.example.test")}")
+    assert(byHost.filter(_._1 != "hot.example.test").values.sum == 1500L,
+      "cold hosts must be untouched by the cap")
+    // capped set = the URLs the politeness order would fetch first
+    val hotUrls = out.where(col("host") === "hot.example.test")
+      .select("canonical_url").collect().map(_.getString(0)).toSet
+    // priority_band asc then canonical_url asc: recompute exactly
+    val want = (0 until 3000).filter(_ % 2 == 0)
+      .map(i => (i % 4, f"https://hot.example.test/p/$i%04d"))
+      .sorted.take(500).map(_._2).toSet
+    assert(hotUrls == want)
+    // explicit opt-out (0) keeps every row
+    val un = Scheduler.runRound(frontier, seen, robots, perHostBudget = 5,
+      maxPerHostPerRound = 0)
+    assert(un.count() == 3000L)
+  }
+
   test("multi-band ANN recall: sign-preserving perturbation collides on all bands") {
     val base = (0 until 50).map { i =>
       val rng = new graft.synth.Synth.Rng(77L + i)

@@ -1,0 +1,119 @@
+package graft
+
+import graft.sources.{WarcBytes, WarcSource, WarcSplit}
+import graft.synth.Synth
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Record-boundary splitter: one record-at-time .warc.gz decoded by N
+  * byte-range tasks must yield exactly the whole-file record set, with
+  * positions that are genuine byte-seek member offsets.
+  */
+class WarcSplitSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def writeOne(records: Seq[graft.core.WarcRecord]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    import spark.implicits._
+    WarcSource.write(spark.createDataset(records).coalesce(1), dir, gzip = true)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz")).head.toString
+  }
+
+  private def key(r: graft.core.WarcRecord): (String, String) =
+    (r.fields.collectFirst { case f if f.name == "WARC-Record-ID" => f.value }.get,
+      graft.core.Digests.computeText("sha1", r.bytes).get)
+
+  test("split read == whole-file read at every split size; >1 task") {
+    val records = Synth.warcRecords(round = 2, n = 60)
+    val file = writeOne(records)
+    val whole = WarcSource.read(spark, new java.io.File(file).getParent).collect()
+      .map(key).sorted.toSeq
+    assert(whole == records.map(key).sorted)
+    val fileLen = new java.io.File(file).length()
+    for (splitBytes <- Seq(1000L, 4096L, fileLen / 3, fileLen * 2)) {
+      val ds = WarcSplit.readSplit(spark, file, splitBytes)
+      val nTasks = ds.select(spark_partition_id()).distinct().count()
+      val got = ds.collect()
+      assert(got.map(key).sorted.toSeq == whole, s"splitBytes=$splitBytes")
+      if (splitBytes < fileLen) assert(nTasks > 1, s"splitBytes=$splitBytes: one task")
+      // positions unique and strictly increasing in file order
+      val pos = got.map(_.position).sorted
+      assert(pos.distinct.length == pos.length)
+    }
+  }
+
+  test("split positions are byte-seek offsets: get(position) returns the record") {
+    val records = Synth.warcRecords(round = 1, n = 20)
+    val file = writeOne(records)
+    val got = WarcSplit.readSplit(spark, file, splitBytes = 2000L)
+      .collect().sortBy(_.position)
+    assert(got.length == 20)
+    for (r <- got.take(3) ++ got.takeRight(3)) {
+      val viaGet = WarcSource.get(spark, file, r.position)
+      assert(viaGet.isDefined, s"get miss at ${r.position}")
+      assert(viaGet.get.fields == r.fields && viaGet.get.bytes.sameElements(r.bytes))
+    }
+  }
+
+  test("a member larger than the split straddles ranges and decodes once") {
+    // one huge record (~200 KB) between small ones, split every 4 KB:
+    // the member starting in range k runs through k+1..k+n — exactly one
+    // task (the one owning its START) must emit it
+    val big = Synth.warcRecords(round = 0, n = 5).zipWithIndex.map { case (r, i) =>
+      if (i == 2) {
+        val bytes = Array.tabulate(200000)(j => ((j * 31 + 7) % 251).toByte)
+        r.copy(
+          fields = r.fields.map(f =>
+            if (f.name == "Content-Length") f.copy(value = bytes.length.toString)
+            else if (f.name == "WARC-Block-Digest")
+              f.copy(value = graft.core.Digests.formatDigest("sha1",
+                graft.core.Digests.compute("sha1", bytes).get))
+            else f),
+          bytes = bytes)
+      } else r
+    }
+    val file = writeOne(big)
+    val got = WarcSplit.readSplit(spark, file, splitBytes = 4096L).collect()
+    assert(got.length == 5)
+    assert(got.map(key).sorted.toSeq == big.map(key).sorted)
+  }
+
+  test("non-gzip input is rejected with a clear error") {
+    val records = Synth.warcRecords(n = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-split-plain").toString
+    import spark.implicits._
+    WarcSource.write(spark.createDataset(records).coalesce(1), dir, gzip = false)
+    val plain = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc")).head
+    val e = intercept[Exception](
+      WarcSplit.readSplit(spark, plain.toString, 1000L).collect())
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("WarcSource.read"), messages.take(500))
+  }
+
+  test("boundary scan ignores gzip magic inside deflate data") {
+    // payload containing the 1f 8b 08 magic: the validator must reject it
+    val evil = Synth.warcRecords(n = 4).map { r =>
+      val bytes = Array.fill(300)(Array(0x1f.toByte, 0x8b.toByte, 0x08.toByte)).flatten
+      r.copy(
+        fields = r.fields.map(f =>
+          if (f.name == "Content-Length") f.copy(value = bytes.length.toString)
+          else if (f.name == "WARC-Block-Digest")
+            f.copy(value = graft.core.Digests.formatDigest("sha1",
+              graft.core.Digests.compute("sha1", bytes).get))
+          else f),
+        bytes = bytes)
+    }
+    val gz = WarcBytes.encodeGzip(evil)
+    // stored-block fallback can embed the magic VERBATIM in the stream;
+    // decodeRange must still frame exactly 4 records
+    def readRange(off: Long, n: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(gz, off.toInt, off.toInt + n)
+    val mid = gz.length / 2L
+    val out = (WarcSplit.decodeRange(readRange, gz.length.toLong, 0L, mid, "e.warc.gz") ++
+      WarcSplit.decodeRange(readRange, gz.length.toLong, mid, gz.length.toLong, "e.warc.gz"))
+      .toVector
+    assert(out.length == 4)
+    assert(out.map(key).sorted == evil.map(key).sorted)
+  }
+}
