@@ -741,6 +741,36 @@ object SparkEntry {
         VerifyOp.payloadDigestOkUdf(declared, bytes, isHttp).as("payload_ok"))
     }),
 
+    // BLAKE3 through the FULL verify path (parse → compute → compare):
+    // declared digests are from-spec BLAKE3 ([[graft.core.Blake3]],
+    // vector-pinned in Blake3Spec); injections drive every branch —
+    // %9 corrupted payload (mismatch), %11 unparsable text
+    // (UnknownDigest), %13 declared xxh3 (parses but is not computable
+    // here → false). The oracle re-derives both columns from the id
+    // pattern, so parseDigest's algo routing is on the hook too.
+    "q65_blake3_verify" -> ((s, dir) => {
+      val d = ft(s, dir, "documents")
+      val declareUdf = udf { (t: String, id: Long) =>
+        if (id % 11 == 0) "not!!a@@digest"
+        else {
+          val base = if (id % 9 == 0) t + "X" else t
+          val algo = if (id % 13 == 0) "xxh3" else "blake3"
+          if (algo == "xxh3") // parseable xxh3 text (8-byte hex), uncomputable here
+            "xxh3:" + Digests.hexEncode(
+              Digests.compute("blake3", base.getBytes("UTF-8")).get.take(8))
+          else Digests.computeText("blake3", base.getBytes("UTF-8")).get
+        }
+      }
+      val parsedAlgoUdf = udf { (declared: String) =>
+        Digests.parseDigest(declared).map(_._1).orNull
+      }
+      val declared = declareUdf(col("text"), col("doc_id"))
+      d.select(col("doc_id"),
+        parsedAlgoUdf(declared).as("algo"),
+        VerifyOp.payloadDigestOkUdf(declared, col("text").cast("binary"),
+          lit(false)).as("payload_ok"))
+    }),
+
     // RFC 9309 robots.txt parse + apply end-to-end: per-host BODIES are
     // generated text (groups, comments, crawl-delay, allow-overrides);
     // the oracle re-derives the verdicts from the generation parameters,
@@ -1540,6 +1570,13 @@ object SparkEntry {
 
     "q58_payload_digest" ->
       "SELECT doc_id, (doc_id % 9 <> 0 AND doc_id % 11 <> 0) AS payload_ok FROM documents",
+
+    "q65_blake3_verify" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 11 = 0 THEN NULL
+        |      WHEN doc_id % 13 = 0 THEN 'xxh3' ELSE 'blake3' END AS algo,
+        | (doc_id % 9 <> 0 AND doc_id % 11 <> 0 AND doc_id % 13 <> 0) AS payload_ok
+        |FROM documents""".stripMargin,
 
     // the otherbot group must NOT be selected; the * group's delay is
     // 250*(1+hn%4) ms; allow /p/12 (longer) beats disallow /p/1

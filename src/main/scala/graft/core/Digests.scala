@@ -11,11 +11,14 @@ import java.util.zip.{CRC32, CRC32C}
   *
   * Computation covers the JVM-native algorithms (crc32, crc32c, md5,
   * sha1, sha256, sha512, sha3-256, sha3-512) plus pure-Scala RFC 7693
-  * BLAKE2b-512/BLAKE2s-256 ([[Blake2]]) — 10 of the reference's 12. The
-  * remaining two (xxh3, blake3) parse and format but report
-  * `unsupported_digest_computation` when verified: the sandbox is
-  * zero-egress and neither has a verifiable test-vector source here, so
-  * an unverifiable implementation would be worse than an honest gap.
+  * BLAKE2b-512/BLAKE2s-256 ([[Blake2]]) and from-spec BLAKE3
+  * ([[Blake3]], validated against the two published vectors available
+  * from memory of the public corpus — see Blake3Spec) — 11 of the
+  * reference's 12. xxh3 parses and formats but reports
+  * `unsupported_digest_computation` when verified: its 192-byte default
+  * secret constant is an arbitrary published array with no in-container
+  * source (zero egress), so bit-parity is unachievable here and an
+  * unverifiable implementation would be worse than an honest gap.
   * xxhash64 is exposed as the engine's conflict-id / seen-key hash
   * (Spark built-in, codegen'd).
   */
@@ -29,7 +32,7 @@ object Digests {
 
   val Computable: Set[String] = Set(
     "crc32", "crc32c", "md5", "sha1", "sha256", "sha512", "sha3-256", "sha3-512",
-    "blake2s", "blake2b")
+    "blake2s", "blake2b", "blake3")
 
   /** Compatibility labels (digest.rs:149-157). */
   def normalizeLabel(label: String): String = label.toLowerCase match {
@@ -145,6 +148,7 @@ object Digests {
     case "sha3-512" => Some(MessageDigest.getInstance("SHA3-512").digest(data))
     case "blake2b"  => Some(Blake2.blake2b512(data))
     case "blake2s"  => Some(Blake2.blake2s256(data))
+    case "blake3"   => Some(Blake3.hash(data))
     case _          => None
   }
 

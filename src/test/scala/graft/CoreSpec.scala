@@ -156,7 +156,8 @@ class DigestsSpec extends AnyFunSuite {
     assert(computeText("sha256", "".getBytes).get ==
       "sha256:e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
     assert(compute("sha3-256", "x".getBytes).isDefined)
-    assert(compute("blake3", "x".getBytes).isEmpty) // documented: parse-only
+    assert(compute("blake3", "x".getBytes).isDefined) // vectors in Blake3Spec
+    assert(compute("xxh3", "x".getBytes).isEmpty) // documented: parse-only
   }
 }
 
