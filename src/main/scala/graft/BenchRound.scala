@@ -27,18 +27,24 @@ object BenchRound {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // robots cache: built once per crawl (= once per child JVM), reused
+    // by every round — the north rule's map-side robots lookup. The
+    // per-round broadcast-JOIN build it replaces cost ~1 s of fixed
+    // driver time per round and was the worst-scaling stage (StageProbe).
+    val robotsBc = graft.frontier.Politeness.robotsBroadcast(
+      Synth.robots(spark, nHosts).toDF())
+
     def round(rows: Int): Long = {
       val frontier = Synth.frontierSeed(spark, rows, nHosts).toDF()
         .select(col("url"), col("priority_band"))
-      val robots = Synth.robots(spark, nHosts).toDF()
       val seen = Scheduler.loadSeen(spark, "/tmp/graft-bench-none")
-      Scheduler.runRound(frontier, seen, robots).count()
+      Scheduler.runRoundCached(frontier, seen, robotsBc).count()
     }
 
     // JIT/codegen warm-up + faults a good chunk of the working set; kept

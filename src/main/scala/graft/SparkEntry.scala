@@ -321,12 +321,21 @@ object SparkEntry {
       Scheduler.dedupeWithinBatch(Scheduler.canonicalize(derivedFrontier(s, dir)))
         .select(col("canonical_url"), col("priority_band"), col("url"))),
 
-    // Frontier: robots + deterministic token-bucket schedule
+    // Frontier: robots + deterministic token-bucket schedule. Gates BOTH
+    // robots forms — the per-round broadcast join and the crawl-lifetime
+    // map broadcast ([[Politeness.robotsBroadcast]], the form the bench
+    // and a long-running crawl loop use): any row where they disagree
+    // survives an exceptAll and breaks the oracle hash.
     "q26_politeness_schedule" -> ((s, dir) => {
       val deduped = Scheduler.dedupeWithinBatch(Scheduler.canonicalize(derivedFrontier(s, dir)))
-      Politeness.schedule(Politeness.applyRobots(deduped, derivedRobots(s, dir)))
+      val robots = derivedRobots(s, dir)
+      def run(robotted: DataFrame) = Politeness.schedule(robotted)
         .select(col("canonical_url"), col("host"), col("host_seq"),
           col("scheduled_ms").cast("long").as("scheduled_ms"))
+      val joined = run(Politeness.applyRobots(deduped, robots))
+      val mapped = run(Politeness.applyRobotsMap(deduped,
+        Politeness.robotsBroadcast(robots)))
+      joined.unionAll(mapped.exceptAll(joined)).unionAll(joined.exceptAll(mapped))
     }),
 
     // Frontier: fetch-batch emission (per-host budget)
@@ -693,7 +702,13 @@ object SparkEntry {
     // filtered out by the media-type routing
     "q59_warc_to_images" -> ((s, dir) => {
       val isImg = pmod(col("o_orderkey"), lit(3)) === 0
-      val pngUdf = udf((i: Long) => Synth.makeImage(7L, i % 120).bytes)
+      // only 120 distinct payloads exist — encode them ONCE on the
+      // driver and capture the array (re-encoding per row cost ~1 ms ×
+      // 50k rows at bench scale); the per-row DECODE inside
+      // imagesFromExtracted stays, that is the operator under test
+      val pngs: Array[Array[Byte]] =
+        Array.tabulate(120)(j => Synth.makeImage(7L, j.toLong).bytes)
+      val pngUdf = udf((i: Long) => pngs((i % 120).toInt))
       val recs = ft(s, dir, "orders").select(
         col("o_orderkey").as("position"),
         lit("img.warc").as("file"), lit("WARC/1.1").as("version"),
@@ -916,7 +931,8 @@ object SparkEntry {
     "q61_warc_split" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-warc-split-q").toString
-      val recs = t(s, dir, "orders").select(col("o_orderkey")).as[Long].map { k =>
+      val recs = t(s, dir, "orders").select(col("o_orderkey"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long].map { k =>
         val len = 1600 + (k % 7L).toInt * 137
         val bytes = new Array[Byte](len)
         val rng = new Synth.Rng(k * 0x9e3779b9L + 7L)
@@ -929,12 +945,18 @@ object SparkEntry {
             Digests.compute("sha1", bytes).get)),
           Field("Content-Length", len.toString)), bytes)
       }
-      graft.sources.WarcSource.write(recs.repartition(1), tmp, gzip = true)
-      // the big file (≥100 MB at bench scale) must not accrete in /tmp
-      new java.io.File(tmp).listFiles().foreach(_.deleteOnExit())
+      // parallel member encode + ordered concat → ONE ~300 MB (at
+      // bench sf) .warc.gz; the single-task write this replaces was the
+      // whole-suite worst cost (107 s)
+      val file = s"$tmp/big.warc.gz"
+      graft.sources.WarcSource.writeSingleFile(recs, file, gzip = true)
+      // the big file must not accrete in /tmp
+      new java.io.File(file).deleteOnExit()
       new java.io.File(tmp).deleteOnExit()
-      val file = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".warc.gz")).head.toString
+      // (the checks aggregate and the per-record rows each decode the
+      // file once; persisting the decoded records was tried and
+      // measured SLOWER — object-form WarcRecords bloat storage memory,
+      // while a second parallel inflate of the page-cached file is cheap)
       val ds = graft.sources.WarcSplit.readSplit(s, file, splitBytes = 2L << 20).toDF()
       val checks = ds.withColumn("pid", spark_partition_id())
         .agg((countDistinct(col("position")) === count(lit(1))).as("pos_ok"),

@@ -60,6 +60,75 @@ object Politeness {
       .where(!disallowedUdf(col("canonical_url"), col("disallow_prefixes")))
       .drop("disallow_prefixes")
 
+  /** A robots cache built ONCE per crawl and reused across rounds — the
+    * north rule's "robots.txt cache broadcast as a map-side lookup"
+    * taken literally. [[applyRobots]] rebuilds its broadcast-join hash
+    * relation on the driver for EVERY round's plan (~1 s of fixed
+    * per-round cost measured at 10k hosts); a long-running crawl loop
+    * instead collects the host-cardinality table once, ships one
+    * Broadcast, and every subsequent round is a narrow projection.
+    * Size guard: refuse tables past `maxHosts` (at 10^8-host scale keep
+    * the per-round join — or shard the crawl loop by host range).
+    */
+  def robotsBroadcast(robots: DataFrame,
+                      maxHosts: Long = 20000000L): org.apache.spark.broadcast.Broadcast[
+      Map[String, (Long, Array[String])]] = {
+    val spark = robots.sparkSession
+    val n = robots.count()
+    require(n <= maxHosts,
+      s"robots table has $n hosts > $maxHosts: use the per-round broadcast join")
+    val m = robots
+      .select(col("host"), col("crawl_delay_ms").cast("long"),
+        col("disallow_prefixes"))
+      .collect()
+      .map(r => r.getString(0) -> (
+        (if (r.isNullAt(1)) DefaultDelayMs else r.getLong(1)),
+        (if (r.isNullAt(2)) Array.empty[String]
+         else r.getSeq[String](2).toArray)))
+      .toMap
+    spark.sparkContext.broadcast(m)
+  }
+
+  /** [[applyRobots]] semantics over a pre-built [[robotsBroadcast]] —
+    * one scalar UDF (map lookup + prefix test), zero joins, zero
+    * per-round broadcast builds. Returns the same rows and
+    * crawl_delay_ms as the join form (equality spec-tested).
+    */
+  def applyRobotsMap(frontier: DataFrame,
+                     bc: org.apache.spark.broadcast.Broadcast[
+                       Map[String, (Long, Array[String])]]): DataFrame = {
+    val delayOrDropUdf = udf { (host: String, url: String) =>
+      bc.value.get(host) match {
+        case None => DefaultDelayMs
+        case Some((delay, prefixes)) =>
+          val path = {
+            val schemeEnd = if (url == null) -1 else url.indexOf("://")
+            if (schemeEnd < 0) ""
+            else {
+              val slash = url.indexOf('/', schemeEnd + 3)
+              if (slash < 0) ""
+              else {
+                var end = url.indexOf('?', slash)
+                val hash = url.indexOf('#', slash)
+                if (hash >= 0 && (end < 0 || hash < end)) end = hash
+                if (end < 0) url.substring(slash) else url.substring(slash, end)
+              }
+            }
+          }
+          var i = 0
+          var hit = false
+          while (i < prefixes.length && !hit) {
+            hit = path.startsWith(prefixes(i)); i += 1
+          }
+          if (hit) -1L else delay
+      }
+    }
+    frontier
+      .withColumn("crawl_delay_ms",
+        delayOrDropUdf(col("host"), col("canonical_url")))
+      .where(col("crawl_delay_ms") >= 0L)
+  }
+
   /** Deterministic token-bucket schedule: per host, ordered by
     * (priority_band asc, canonical_url asc), the n-th URL fetches at
     * (n-1) * crawl_delay_ms. Requires columns: host, canonical_url,

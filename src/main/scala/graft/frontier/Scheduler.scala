@@ -81,7 +81,27 @@ object Scheduler {
     */
   def runRound(rawFrontier: DataFrame, seenKeys: DataFrame, robots: DataFrame,
                perHostBudget: Int = 100, numBloomBuckets: Int = 64,
-               maxPerHostPerRound: Int = -1): DataFrame = {
+               maxPerHostPerRound: Int = -1): DataFrame =
+    runRoundImpl(rawFrontier, seenKeys, Politeness.applyRobots(_, robots),
+      perHostBudget, numBloomBuckets, maxPerHostPerRound)
+
+  /** [[runRound]] over a crawl-lifetime robots cache
+    * ([[Politeness.robotsBroadcast]]): identical output, but the robots
+    * stage is a narrow map-side lookup with no per-round broadcast
+    * build — the form a long-running crawl loop (and the bench) uses.
+    */
+  def runRoundCached(rawFrontier: DataFrame, seenKeys: DataFrame,
+                     robotsBc: org.apache.spark.broadcast.Broadcast[
+                       Map[String, (Long, Array[String])]],
+                     perHostBudget: Int = 100, numBloomBuckets: Int = 64,
+                     maxPerHostPerRound: Int = -1): DataFrame =
+    runRoundImpl(rawFrontier, seenKeys, Politeness.applyRobotsMap(_, robotsBc),
+      perHostBudget, numBloomBuckets, maxPerHostPerRound)
+
+  private def runRoundImpl(rawFrontier: DataFrame, seenKeys: DataFrame,
+                           robotsStage: DataFrame => DataFrame,
+                           perHostBudget: Int, numBloomBuckets: Int,
+                           maxPerHostPerRound: Int): DataFrame = {
     val canon = dedupeWithinBatch(canonicalize(rawFrontier))
     val fresh =
       if (seenKeys.isEmpty) canon
@@ -89,18 +109,36 @@ object Scheduler {
         val buckets = SeenSet.buildBuckets(seenKeys, "url_key", numBloomBuckets)
         SeenSet.probeAndConfirm(canon, seenKeys, "url_key", buckets, numBloomBuckets)
       }
-    val robotted = Politeness.applyRobots(fresh, robots)
-    // hot-host round cap ON BY DEFAULT (salted two-phase top-k): bounds
-    // the politeness window's largest partition so one 10^8-URL host
-    // can't tail-stall the stage; its phase-2 window shares partitioning
-    // AND sort order with the politeness window below, so the cap adds
-    // exactly one (host, salt) exchange, not two
+    val robotted = robotsStage(fresh)
+    // hot-host round cap ON BY DEFAULT, as a two-pass hot split: pass 1
+    // counts per host over the RAW frontier (narrow host extract +
+    // salted partial agg — k rows cross the wire) and broadcasts the
+    // over-cap host set; only THOSE hosts' rows pay the salted two-phase
+    // top-k, everything else flows straight to the politeness window.
+    // Pre-filter counts can only OVERcount (dedupe/robots only remove
+    // rows), and capping a below-cap host is a no-op, so the result is
+    // identical to capping everything — but the steady-state cost is one
+    // cheap count pass instead of an extra full-frontier (host, salt)
+    // exchange + sort (measured: the always-cap form ran the 16M-URL
+    // bench round 2.4× slower). Hot-set size is bounded by rows/cap
+    // (10^10 URLs / 10^4 cap → ≤10^6 hosts, tens of MB — broadcastable).
     val cap =
       if (maxPerHostPerRound < 0) perHostBudget * DefaultMaxBatchesPerHost
       else maxPerHostPerRound
     val polite =
-      if (cap > 0) Politeness.capPerHost(robotted, cap)
-      else robotted
+      if (cap > 0) {
+        val hotHosts = rawFrontier
+          .select(Canonical.hostOf(col("url")).as("host"),
+            pmod(xxhash64(col("url")), lit(16L)).as("salt"))
+          .groupBy("host", "salt").agg(count(lit(1)).as("c"))
+          .groupBy("host").agg(sum("c").as("n"))
+          .where(col("n") > cap)
+          .select(col("host"), lit(true).as("__hot"))
+        val flagged = robotted.join(broadcast(hotHosts), Seq("host"), "left")
+        val hot = flagged.where(col("__hot")).drop("__hot")
+        val cold = flagged.where(col("__hot").isNull).drop("__hot")
+        Politeness.capPerHost(hot, cap).unionByName(cold)
+      } else robotted
     // ONE exchange feeds the politeness window: the window's own
     // hash-partitioning on host already makes scheduling partition-local
     // and keeps whole hosts together (a pre-window repartitionByRange

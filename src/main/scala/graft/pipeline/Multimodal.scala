@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   java.lang.System.setProperty("java.awt.headless", "true")
+  // in-memory ImageIO streams: the default file-backed cache spools a
+  // temp file per read/write — tens of thousands of per-row temp files
+  // at bench scale (measured: dominated q59's wall time)
+  ImageIO.setUseCache(false)
 
   def decode(bytes: Array[Byte]): Option[BufferedImage] =
     Option(bytes).flatMap(b => Option(ImageIO.read(new ByteArrayInputStream(b))))

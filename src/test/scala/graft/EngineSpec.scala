@@ -72,6 +72,25 @@ class PolitenessSpec extends AnyFunSuite {
     assert(out("https://unknown.example.test/ok") == Politeness.DefaultDelayMs)
   }
 
+  test("applyRobotsMap (crawl-lifetime broadcast) == applyRobots (join), runRoundCached == runRound") {
+    val raw = Synth.frontierSeed(spark, 3000, nHosts = 40).toDF()
+      .select($"url", $"priority_band")
+    val robots = Synth.robots(spark, 40).toDF()
+    val bc = Politeness.robotsBroadcast(robots)
+    val f = Scheduler.canonicalize(raw)
+    val a = Politeness.applyRobots(f, robots)
+      .select("canonical_url", "crawl_delay_ms")
+    val b = Politeness.applyRobotsMap(f, bc)
+      .select("canonical_url", "crawl_delay_ms")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val seen = Scheduler.loadSeen(spark, "/tmp/none")
+    val r1 = Scheduler.runRound(raw, seen, robots)
+      .select("canonical_url", "host_seq", "scheduled_ms", "batch_id")
+    val r2 = Scheduler.runRoundCached(raw, seen, bc)
+      .select("canonical_url", "host_seq", "scheduled_ms", "batch_id")
+    assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty)
+  }
+
   test("full round: dedupe removes injected ~10% duplicates; batches respect budget") {
     val raw = Synth.frontierSeed(spark, 2000, nHosts = 30).toDF()
       .select($"url", $"priority_band")

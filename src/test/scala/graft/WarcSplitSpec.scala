@@ -78,6 +78,23 @@ class WarcSplitSpec extends AnyFunSuite {
     assert(got.map(key).sorted.toSeq == big.map(key).sorted)
   }
 
+  test("writeSingleFile (parallel members + concat) decodes to the same record set") {
+    import spark.implicits._
+    val recs = Synth.warcRecords(round = 3, n = 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wsf").toString
+    val single = s"$dir/one.warc.gz"
+    WarcSource.writeSingleFile(spark.createDataset(recs).repartition(7), single, gzip = true)
+    def ids(path: String) = WarcSplit.readSplit(spark, path, 4096L)
+      .collect().map(r => (
+        r.fields.find(_.name == "WARC-Record-ID").map(_.value).getOrElse(""),
+        r.bytes.toSeq)).sortBy(_._1)
+    val seqDir = s"$dir/seq"
+    WarcSource.write(spark.createDataset(recs).coalesce(1), seqDir, gzip = true)
+    val seqFile = new java.io.File(seqDir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head.toString
+    assert(ids(single).sameElements(ids(seqFile)))
+  }
+
   test("non-gzip input is rejected with a clear error") {
     val records = Synth.warcRecords(n = 3)
     val dir = java.nio.file.Files.createTempDirectory("graft-split-plain").toString
