@@ -231,21 +231,50 @@ object Bench {
     }
     // last-resort: the driver's timeout sends SIGTERM — still emit the line
     Runtime.getRuntime.addShutdownHook(new Thread(() => printOnce()))
-    // a single runaway query (run 4: one 107 s first-pass timing) must
-    // not carry elapsed past the budget: near the floor, cancel whatever
-    // Spark is doing (the query records an error) and print
+    // Two cancellation duties, one watchdog thread:
+    //  - a single query must not hold the suite hostage: a steal storm
+    //    stretched the 25 s splitter to 179 s in run 7 and 64 queries
+    //    skipped — queries are cancelled at `queryDeadline` (45 s),
+    //    recorded as errors, retried once late if budget allows;
+    //  - nothing may carry elapsed past the budget: near the floor,
+    //    cancel whatever Spark is doing and print.
     @volatile var watchSpark: SparkSession = null
+    @volatile var queryDeadline: Long = Long.MaxValue
+    def cancelJobs(): Unit =
+      if (watchSpark != null)
+        try watchSpark.sparkContext.cancelAllJobs() catch { case _: Exception => () }
     locally {
       val t = new Thread(() => {
         while (!printed) {
           Thread.sleep(1000)
-          if (remaining < 12 && watchSpark != null)
-            try watchSpark.sparkContext.cancelAllJobs() catch { case _: Exception => () }
+          if (System.nanoTime() > queryDeadline) {
+            queryDeadline = Long.MaxValue
+            cancelJobs()
+          }
+          if (remaining < 12) cancelJobs()
           if (remaining < 6) printOnce()
         }
       })
       t.setDaemon(true)
       t.start()
+    }
+    val queryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "45").toDouble
+    /** Run one query timing under the per-query deadline. */
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  spark: SparkSession): Option[Double] = {
+      queryDeadline = System.nanoTime() + (queryTimeoutSec * 1e9).toLong
+      var failed = false
+      val sec = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          failed = true
+          queryErrors(name) =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        }
+      }
+      queryDeadline = Long.MaxValue
+      if (failed) None else Some(sec)
     }
 
     // Fixed 64 shuffle partitions in children so the work decomposition
@@ -366,9 +395,19 @@ object Bench {
         Thread.sleep(500)
         poll()
       }
-      // (the headline's TIMED pass runs at the end with its own
-      // reserved slice — spending a third pass here would push the gate
-      // phase's start back ~10 s on a budget that is already tight)
+      // first timed verify pass NOW (idle box, ~5-10 s): two runs in a
+      // row lost the end-of-run re-time to the budget tail and reported
+      // no headline number — this pass guarantees one; the end re-time
+      // can only improve it
+      if (nRecords > 0 && !queryErrors.contains("verify_headline")) {
+        try {
+          val dirty = SparkEntry.dirtyRecordsFor(spark, sfDir)
+          val verifySec = time { VerifyOp.problems(dirty).count() }
+          recordsPerSec = nRecords / verifySec
+        } catch { case e: Exception =>
+          queryErrors("verify_headline") = e.getMessage.take(300)
+        }
+      }
 
       // ---- GATE PHASE: alternate configs, fewest-completed first,
       // until the efficiency gate holds with >=3 rounds per config or
@@ -420,35 +459,54 @@ object Bench {
       // the gate has passed (clean timings). pump() only fires while the
       // gate is unmet — then the raw trials + steal deltas document the
       // contamination the gate chase cost.
-      allQueries.foreach { case (name, fn) =>
+      // Suite order is adaptive around the two measured heavy hitters
+      // (the ~25 s splitter and the ~7 s image bridge): on a QUIET box
+      // they run FIRST, so an ambient slowdown later clips ~1 s queries
+      // instead of them (run 6 lost the splitter to the budget tail);
+      // in a DISTURBED window they run LAST — under a steal storm they
+      // would only burn their timeouts (2×45 s, run 8) while the cheap
+      // queries that could still finish get the budget.
+      val heavy = Seq("q61_warc_split", "q59_warc_to_images")
+      val disturbed = trials.exists(_.steal > 10.0) ||
+        highSecs.nonEmpty && highSecs.min > 22.0
+      val suite =
+        if (disturbed) allQueries.filterNot(q => heavy.contains(q._1)) ++
+          allQueries.filter(q => heavy.contains(q._1))
+        else allQueries.filter(q => heavy.contains(q._1)) ++
+          allQueries.filterNot(q => heavy.contains(q._1))
+      suite.foreach { case (name, fn) =>
         if (remaining > 30) {
-          val sec = time {
-            try fn(spark, sfDir).count()
-            catch { case e: Throwable =>
-              queryErrors(name) =
-                Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
-            }
-          }
-          queries(name) = sec
+          timeQuery(name, fn, spark).foreach(queries(name) = _)
         }
         pump()
+      }
+
+      // ---- one late retry for queries that errored/timed out (a steal
+      // window mid-suite must not permanently cost a query its timing)
+      poll()
+      for (name <- queryErrors.keys.toSeq
+             if SparkEntry.queries.contains(name) && remaining > 85) {
+        timeQuery(name, SparkEntry.queries(name), spark).foreach { sec =>
+          queries(name) = sec
+          queryErrors.remove(name)
+        }
       }
 
       // ---- re-time the 3 slowest clean-pass queries (a steal window
       // can hit any single timing; min-of-two passes exonerates it) —
       // only on an idle box, the re-time must not inherit contamination
-      poll()
       if (!children.exists(_.inFlight) && remaining > 75) {
         val slowest = queries.toSeq
           .filterNot { case (n, _) => queryErrors.contains(n) }
           .filter(_._2 <= 30.0) // a >30 s first pass cannot re-run safely
           .sortBy(-_._2).take(3)
         for ((name, first) <- slowest if remaining > 55) {
-          val sec = time {
-            try SparkEntry.queries(name)(spark, sfDir).count()
-            catch { case _: Throwable => () }
+          val hadErr = queryErrors.contains(name)
+          timeQuery(name, SparkEntry.queries(name), spark) match {
+            case Some(sec) => queries(name) = math.min(first, sec)
+            case None => // first pass stands; drop the transient error
+              if (!hadErr) queryErrors.remove(name)
           }
-          queries(name) = math.min(first, sec)
         }
       }
 
