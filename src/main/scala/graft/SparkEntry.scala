@@ -338,6 +338,30 @@ object SparkEntry {
       joined.unionAll(mapped.exceptAll(joined)).unionAll(joined.exceptAll(mapped))
     }),
 
+    // Checkpoint/resume end-to-end (north rule "resumable from an
+    // Iceberg snapshot checkpoint"; parquet round dirs stand in): round
+    // 1 schedules HALF the frontier and checkpoints (batch parquet +
+    // seen keys); a FRESH loadSeen reads the seen set back from disk
+    // and round 2 runs the FULL frontier against it — so the bloom
+    // probe + exact confirm must drop exactly round 1's survivors. The
+    // oracle recomputes round 2 as schedule(dedupe(full) ANTI-JOIN
+    // robots-surviving half-1 keys). CheckpointSpec covers kill-resume
+    // equivalence; this gates the parquet round-trip under the driver.
+    "q66_checkpoint_resume" -> ((s, dir) => {
+      val robots = derivedRobots(s, dir)
+      val half1 = ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(frontierUrl.as("url"),
+          pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band"))
+      val ck = s"/tmp/graft-ck-gate/${new java.io.File(dir).getName}"
+      val r1 = Scheduler.runRound(half1,
+        Scheduler.loadSeen(s, ck + "-none"), robots)
+      Scheduler.checkpointRound(r1, ck, 1)
+      val seen = Scheduler.loadSeen(s, ck) // parquet, from disk
+      val r2 = Scheduler.runRound(derivedFrontier(s, dir), seen, robots)
+      r2.select(col("canonical_url"), col("host"), col("host_seq"),
+        col("scheduled_ms").cast("long").as("scheduled_ms"))
+    }),
+
     // Frontier: fetch-batch emission (per-host budget)
     "q27_fetch_batches" -> ((s, dir) => {
       val deduped = Scheduler.dedupeWithinBatch(Scheduler.canonicalize(derivedFrontier(s, dir)))
@@ -1306,6 +1330,34 @@ object SparkEntry {
 
     "q26_politeness_schedule" ->
       s"""$scheduledCte
+         |SELECT canonical_url, host, host_seq, scheduled_ms FROM sched""".stripMargin,
+
+    // round 2 of a resumed crawl: schedule over the full deduped
+    // frontier minus round 1's robots-surviving half (hn/path are
+    // functions of canonical_url, so the robots verdict is
+    // winner-independent)
+    "q66_checkpoint_resume" ->
+      s"""$dedupedCte,
+         |h1k AS (
+         |  SELECT DISTINCT canonical_url FROM f
+         |  WHERE o_orderkey % 2 = 0
+         |    AND NOT (hn % 7 = 0 AND path LIKE '/p/1%')
+         |),
+         |fresh AS (
+         |  SELECT d.* FROM d
+         |  WHERE NOT EXISTS (SELECT 1 FROM h1k WHERE h1k.canonical_url = d.canonical_url)
+         |),
+         |pol AS (
+         |  SELECT fresh.*, 250 * (1 + hn % 4) AS crawl_delay_ms
+         |  FROM fresh
+         |  WHERE NOT (hn % 7 = 0 AND path LIKE '/p/1%')
+         |),
+         |sched AS (
+         |  SELECT canonical_url, host,
+         |    CAST(row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) AS BIGINT) AS host_seq,
+         |    CAST((row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) - 1) * crawl_delay_ms AS BIGINT) AS scheduled_ms
+         |  FROM pol
+         |)
          |SELECT canonical_url, host, host_seq, scheduled_ms FROM sched""".stripMargin,
 
     // the streaming politeness path must reproduce the batch schedule —

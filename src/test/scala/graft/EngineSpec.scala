@@ -91,6 +91,14 @@ class PolitenessSpec extends AnyFunSuite {
     assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty)
   }
 
+  test("robotsBroadcast refuses a table past the size guard") {
+    val robots = Synth.robots(spark, 50).toDF()
+    val e = intercept[IllegalArgumentException] {
+      Politeness.robotsBroadcast(robots, maxHosts = 10L)
+    }
+    assert(e.getMessage.contains("per-round broadcast join"))
+  }
+
   test("full round: dedupe removes injected ~10% duplicates; batches respect budget") {
     val raw = Synth.frontierSeed(spark, 2000, nHosts = 30).toDF()
       .select($"url", $"priority_band")
