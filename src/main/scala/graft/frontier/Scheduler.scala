@@ -98,59 +98,107 @@ object Scheduler {
     runRoundImpl(rawFrontier, seenKeys, Politeness.applyRobotsMap(_, robotsBc),
       perHostBudget, numBloomBuckets, maxPerHostPerRound)
 
+  /** Dedupe with the SAME winner as [[dedupeWithinBatch]] (first row per
+    * canonical_url in (canonical_url, priority_band, url) order = the
+    * min-(band, url) row) but expressed as a window over hash(host)
+    * partitioning — so the politeness window downstream REUSES the
+    * exchange instead of adding a second full-frontier shuffle. Only
+    * safe where per-host row counts are bounded (the hot-host split
+    * guarantees ≤ cap rows per cold host); url_key hash collisions
+    * across distinct canonical urls are kept (2^-64), where the agg
+    * form would collapse them — both deterministic.
+    */
+  private[frontier] def dedupeWithinHost(canonical: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("host")
+      .orderBy(col("canonical_url").asc, col("priority_band").asc, col("url").asc)
+    canonical
+      .withColumn("__dup", lag("canonical_url", 1).over(w) === col("canonical_url"))
+      .where(col("__dup").isNull || !col("__dup")).drop("__dup")
+  }
+
   private def runRoundImpl(rawFrontier: DataFrame, seenKeys: DataFrame,
                            robotsStage: DataFrame => DataFrame,
                            perHostBudget: Int, numBloomBuckets: Int,
                            maxPerHostPerRound: Int): DataFrame = {
-    val canon = dedupeWithinBatch(canonicalize(rawFrontier))
-    val fresh =
-      if (seenKeys.isEmpty) canon
-      else {
-        val buckets = SeenSet.buildBuckets(seenKeys, "url_key", numBloomBuckets)
-        SeenSet.probeAndConfirm(canon, seenKeys, "url_key", buckets, numBloomBuckets)
-      }
-    val robotted = robotsStage(fresh)
+    val canon = canonicalize(rawFrontier)
     // hot-host round cap ON BY DEFAULT, as a two-pass hot split: pass 1
     // counts per host over the RAW frontier (narrow host extract +
     // salted partial agg — k rows cross the wire) and broadcasts the
     // over-cap host set; only THOSE hosts' rows pay the salted two-phase
-    // top-k, everything else flows straight to the politeness window.
-    // Pre-filter counts can only OVERcount (dedupe/robots only remove
-    // rows), and capping a below-cap host is a no-op, so the result is
-    // identical to capping everything — but the steady-state cost is one
-    // cheap count pass instead of an extra full-frontier (host, salt)
-    // exchange + sort (measured: the always-cap form ran the 16M-URL
-    // bench round 2.4× slower). Hot-set size is bounded by rows/cap
-    // (10^10 URLs / 10^4 cap → ≤10^6 hosts, tens of MB — broadcastable).
+    // top-k. Pre-filter counts can only OVERcount (dedupe/robots only
+    // remove rows), and capping a below-cap host is a no-op, so the
+    // result is identical to capping everything — but the steady-state
+    // cost is one cheap count pass instead of an extra full-frontier
+    // (host, salt) exchange + sort (measured: the always-cap form ran
+    // the 16M-URL bench round 2.4× slower). Hot-set size is bounded by
+    // rows/cap (10^10 URLs / 10^4 cap → ≤10^6 hosts — broadcastable).
     val cap =
       if (maxPerHostPerRound < 0) perHostBudget * DefaultMaxBatchesPerHost
       else maxPerHostPerRound
-    val polite =
-      if (cap > 0) {
-        val hotHosts = rawFrontier
-          .select(Canonical.hostOf(col("url")).as("host"),
-            pmod(xxhash64(col("url")), lit(16L)).as("salt"))
-          .groupBy("host", "salt").agg(count(lit(1)).as("c"))
-          .groupBy("host").agg(sum("c").as("n"))
-          .where(col("n") > cap)
-          .select(col("host"), lit(true).as("__hot"))
-        val flagged = robotted.join(broadcast(hotHosts), Seq("host"), "left")
-        val hot = flagged.where(col("__hot")).drop("__hot")
-        val cold = flagged.where(col("__hot").isNull).drop("__hot")
-        Politeness.capPerHost(hot, cap).unionByName(cold)
-      } else robotted
-    // ONE exchange feeds the politeness window: the window's own
-    // hash-partitioning on host already makes scheduling partition-local
-    // and keeps whole hosts together (a pre-window repartitionByRange
-    // added a full extra shuffle whose layout the window immediately
-    // destroyed — measured and removed in round 2). Final layout is
-    // hash(host)-partitioned with a deterministic within-partition sort;
-    // a range layout for writes is one .repartitionByRange away when a
-    // sink needs it.
-    val scheduled = Politeness.schedule(polite)
-    Politeness.fetchBatches(scheduled, perHostBudget)
-      .sortWithinPartitions("priority_band", "scheduled_ms", "host_hash", "canonical_url")
+
+    def finish(scheduled: DataFrame): DataFrame =
+      Politeness.fetchBatches(scheduled, perHostBudget)
+        .sortWithinPartitions("priority_band", "scheduled_ms", "host_hash", "canonical_url")
+
+    if (seenKeys.isEmpty && cap > 0) {
+      // PROBE-FREE round (round 1 of a crawl — and the headline bench):
+      // fully fused cold path, ONE full-frontier exchange. Hosts never
+      // straddle the hot/cold split, so each leg schedules its hosts
+      // completely and the legs union AFTER their windows:
+      //  - cold leg: Exchange(host) → window-dedupe → robots filter →
+      //    politeness window — dedupe, robots and schedule all share the
+      //    one hash(host) exchange (robots is a narrow filter; the
+      //    dedupe window's reducers are BOUNDED because every cold host
+      //    has raw count ≤ cap by the hot-split definition);
+      //  - hot leg: the url_key-agg dedupe (spreads a degenerate host
+      //    across reducers) + salted two-phase cap, as before — a few
+      //    small exchanges over the tiny hot subset.
+      // Seen-rounds keep the two-exchange composition below: the exact-
+      // confirm's internal union breaks partitioning anyway, and the
+      // url_key-agg dedupe's map-side partial collapse is worth more
+      // there. (A fully-fused seen path exists on paper — confirm via a
+      // broadcast of seen∩bloom-positive keys instead of an anti-join —
+      // and is the documented next step if profiling demands it.)
+      val hotHosts = hotHostSet(rawFrontier, cap)
+      val flagged = canon.join(broadcast(hotHosts), Seq("host"), "left")
+      val hot = flagged.where(col("__hot")).drop("__hot")
+      val cold = flagged.where(col("__hot").isNull).drop("__hot")
+      val hotSched = Politeness.schedule(
+        Politeness.capPerHost(robotsStage(dedupeWithinBatch(hot)), cap))
+      val coldSched = Politeness.schedule(robotsStage(dedupeWithinHost(cold)))
+      finish(hotSched.unionByName(coldSched))
+    } else {
+      val deduped = dedupeWithinBatch(canon)
+      val fresh =
+        if (seenKeys.isEmpty) deduped
+        else {
+          val buckets = SeenSet.buildBuckets(seenKeys, "url_key", numBloomBuckets)
+          SeenSet.probeAndConfirm(deduped, seenKeys, "url_key", buckets, numBloomBuckets)
+        }
+      val robotted = robotsStage(fresh)
+      val polite =
+        if (cap > 0) {
+          val flagged = robotted.join(broadcast(hotHostSet(rawFrontier, cap)),
+            Seq("host"), "left")
+          val hot = flagged.where(col("__hot")).drop("__hot")
+          val cold = flagged.where(col("__hot").isNull).drop("__hot")
+          Politeness.capPerHost(hot, cap).unionByName(cold)
+        } else robotted
+      finish(Politeness.schedule(polite))
+    }
   }
+
+  /** Hosts whose RAW frontier row count exceeds `cap` (the hot side of
+    * the two-pass split), as a broadcastable (host, __hot) table.
+    */
+  private def hotHostSet(rawFrontier: DataFrame, cap: Int): DataFrame =
+    rawFrontier
+      .select(Canonical.hostOf(col("url")).as("host"),
+        pmod(xxhash64(col("url")), lit(16L)).as("salt"))
+      .groupBy("host", "salt").agg(count(lit(1)).as("c"))
+      .groupBy("host").agg(sum("c").as("n"))
+      .where(col("n") > cap)
+      .select(col("host"), lit(true).as("__hot"))
 
   /** Per-partition lineage + fetch metrics (north rule observability):
     * one row per (partition, host) with URL counts and schedule span.

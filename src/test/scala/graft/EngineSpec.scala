@@ -91,6 +91,26 @@ class PolitenessSpec extends AnyFunSuite {
     assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty)
   }
 
+  test("fused probe-free round == agg-dedupe composition, incl. a hot host") {
+    // half the frontier on one degenerate host → the hot leg is active;
+    // the fused round must equal capPerHost over the plain composition
+    val raw = Synth.frontierSeed(spark, 3000, nHosts = 40).toDF()
+      .select($"url", $"priority_band")
+      .unionByName(spark.range(900).toDF("i").select(
+        concat(lit("https://hot.example.test/u/"), $"i").as("url"),
+        lit(0).as("priority_band")))
+    val robots = Synth.robots(spark, 40).toDF()
+    val cols = Seq("canonical_url", "host_seq", "scheduled_ms", "batch_id")
+    val got = Scheduler.runRound(raw, Scheduler.loadSeen(spark, "/tmp/none"),
+        robots, maxPerHostPerRound = 500)
+      .select(cols.map(col): _*)
+    val want = Politeness.fetchBatches(Politeness.schedule(Politeness.capPerHost(
+        Politeness.applyRobots(
+          Scheduler.dedupeWithinBatch(Scheduler.canonicalize(raw)), robots), 500)), 100)
+      .select(cols.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("robotsBroadcast refuses a table past the size guard") {
     val robots = Synth.robots(spark, 50).toDF()
     val e = intercept[IllegalArgumentException] {
