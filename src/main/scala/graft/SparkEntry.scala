@@ -977,25 +977,33 @@ object SparkEntry {
       // the big file must not accrete in /tmp
       new java.io.File(file).deleteOnExit()
       new java.io.File(tmp).deleteOnExit()
-      // (the checks aggregate and the per-record rows each decode the
-      // file once; persisting the decoded records was tried and
-      // measured SLOWER — object-form WarcRecords bloat storage memory,
-      // while a second parallel inflate of the page-cached file is cheap)
+      // ONE decode pass: the global checks (distinct offsets, >1 scan
+      // task) are window aggregates over the light projected columns —
+      // an agg + crossJoin formulation re-decoded the ~300 MB file a
+      // second time and pushed the query past the bench's per-query
+      // watchdog on slow-ambient windows (persisting the decoded
+      // records was also tried: slower, object-form rows bloat storage
+      // memory). pid is projected BELOW the window exchanges, so it
+      // still identifies the DECODE task.
       val ds = graft.sources.WarcSplit.readSplit(s, file, splitBytes = 2L << 20).toDF()
-      val checks = ds.withColumn("pid", spark_partition_id())
-        .agg((countDistinct(col("position")) === count(lit(1))).as("pos_ok"),
-          (countDistinct(col("pid")) > 1).as("split_ok"))
       val recId = regexp_extract(
         FieldOps.fieldGet(col("fields"), "WARC-Record-ID"), "<urn:split:([0-9]+)>", 1)
         .cast("long")
       val digestOk = udf { (declared: String, bytes: Array[Byte]) =>
         Digests.computeText("sha1", bytes).contains(declared)
       }
-      ds.select(recId.as("rec_id"),
-          (length(col("bytes")) === (lit(1600) + pmod(recId, lit(7)) * 137)).as("len_ok"),
-          digestOk(FieldOps.fieldGet(col("fields"), "WARC-Block-Digest"),
-            col("bytes")).as("digest_ok"))
-        .crossJoin(broadcast(checks))
+      val base = ds.select(recId.as("rec_id"),
+        (length(col("bytes")) === (lit(1600) + pmod(recId, lit(7)) * 137)).as("len_ok"),
+        digestOk(FieldOps.fieldGet(col("fields"), "WARC-Block-Digest"),
+          col("bytes")).as("digest_ok"),
+        col("position"), spark_partition_id().as("pid"))
+      val wPos = Window.partitionBy("position")
+      val wAll = Window.partitionBy(lit(1))
+      base
+        .withColumn("pos_cnt", count(lit(1)).over(wPos))
+        .withColumn("pos_ok", (max(col("pos_cnt")).over(wAll) === 1L).as("pos_ok"))
+        .withColumn("split_ok", max(col("pid")).over(wAll) > min(col("pid")).over(wAll))
+        .select("rec_id", "len_ok", "digest_ok", "pos_ok", "split_ok")
     }),
 
     // S8 extract-tree gate: REAL tree write with injected marker classes
