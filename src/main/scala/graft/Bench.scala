@@ -329,15 +329,20 @@ object Bench {
     def highSecs = trials.filter(_.cores == scaleHigh).map(_.sec)
 
     /** The BASELINE gate plus the judge's evidence bar (>=3 rounds per
-      * config), with margin: 0.82 leaves room above the 0.8 gate, and a
-      * raw ratio past 1.05 is physically impossible (superlinear) —
-      * the low min is still steal-inflated, keep sampling.
+      * config). The acceptance threshold IS the 0.8 gate: run 11 showed
+      * a window whose true ratio sat at ~0.80 — an internal 0.82 margin
+      * bar made the gate phase chase rounds the window could not
+      * deliver (4+5 rounds, 300 s) and the query suite paid. Margin is
+      * built OPPORTUNISTICALLY by the end-phase bonus rounds instead
+      * (mins only ever tighten). A raw ratio past 1.05 is physically
+      * impossible (superlinear) — the low min is still steal-inflated,
+      * keep sampling.
       */
     def gatePassed: Boolean = {
       val lows = lowSecs; val highs = highSecs
       lows.size >= 3 && highs.size >= 3 && {
         val eff = lows.min / (ratio * highs.min)
-        eff >= 0.82 && eff <= 1.05
+        eff >= 0.80 && eff <= 1.05
       }
     }
 
@@ -466,9 +471,13 @@ object Bench {
       // in a DISTURBED window they run LAST — under a steal storm they
       // would only burn their timeouts (2×45 s, run 8) while the cheap
       // queries that could still finish get the budget.
-      val heavy = Seq("q61_warc_split", "q59_warc_to_images", "q66_checkpoint_resume")
+      val heavy = Seq("q61_warc_split", "q64_extract_tree",
+        "q59_warc_to_images", "q66_checkpoint_resume")
+      // an unmet gate ALSO counts as disturbed: pump() will interleave
+      // scaling rounds with the suite, and a heavy query timed next to
+      // a 50 s c2 round just burns its timeout (run 12)
       val disturbed = trials.exists(_.steal > 10.0) ||
-        highSecs.nonEmpty && highSecs.min > 22.0
+        highSecs.nonEmpty && highSecs.min > 22.0 || !gatePassed
       val suite =
         if (disturbed) allQueries.filterNot(q => heavy.contains(q._1)) ++
           allQueries.filter(q => heavy.contains(q._1))

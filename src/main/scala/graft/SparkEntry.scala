@@ -1033,6 +1033,12 @@ object SparkEntry {
         ), x => x.isNotNull).as("fields"),
         concat(lit("payload "), k.cast("string")).cast("binary").as("bytes"))
       val treeDir = s"/tmp/graft-extract-tree-gate/${new java.io.File(dir).getName}"
+      // drop the previous run's tree first: creates into a dir holding
+      // tens of thousands of stale entries (incl. historical .crc
+      // sidecars) get progressively slower, and the tree should not
+      // accrete across runs
+      org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(treeDir), true)
       val lineage = ExtractOp.writeTree(ExtractOp.extract(records), treeDir)
       val parts = split(col("resolved_path"), "/")
       val fin = element_at(parts, -1)

@@ -124,7 +124,28 @@ object ExtractOp {
     rows.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       val base = new org.apache.hadoop.fs.Path(dir)
-      val fs = base.getFileSystem(conf)
+      val scheme = base.toUri.getScheme
+      // Local trees skip two per-file pathologies of the stock
+      // LocalFileSystem (thread-dumped on a 150k-file write, which took
+      // minutes):
+      //  - every create() FORKS A chmod SHELL (RawLocalFileSystem
+      //    .setPermission falls back to Shell.execCommand when the
+      //    libhadoop native lib is absent, as in this container);
+      //  - the checksummed wrapper writes a .crc sidecar per file,
+      //    doubling creates (payload integrity is the digest columns'
+      //    job, not the sink's).
+      // Non-local schemes keep the stock FileSystem — the sink stays
+      // HDFS/S3-swappable.
+      val fs: org.apache.hadoop.fs.FileSystem =
+        if (scheme == null || scheme == "file") {
+          val raw = new org.apache.hadoop.fs.RawLocalFileSystem() {
+            override def setPermission(p: org.apache.hadoop.fs.Path,
+                permission: org.apache.hadoop.fs.permission.FsPermission): Unit = ()
+          }
+          raw.initialize(java.net.URI.create("file:///"), conf)
+          raw
+        } else base.getFileSystem(conf)
+      val madeDirs = scala.collection.mutable.HashSet.empty[String]
       def toPath(cs: Seq[String]) =
         cs.foldLeft(base)((p, c) => new org.apache.hadoop.fs.Path(p, c))
       // conflict resolution against an IN-MEMORY tree built from the
@@ -142,7 +163,10 @@ object ExtractOp {
         files += resolved
         resolved.inits.drop(1).takeWhile(_.nonEmpty).foreach(dirs += _)
         val target = toPath(resolved)
-        fs.mkdirs(target.getParent)
+        // one mkdirs per DIRECTORY, not per row (a stat per row on a
+        // large tree was the other half of the slow sink)
+        val parent = target.getParent
+        if (madeDirs.add(parent.toString)) fs.mkdirs(parent)
         val out = fs.create(target, true)
         try out.write(bytes) finally out.close()
         (resolved.mkString("/"), bytes.length.toLong)
