@@ -422,7 +422,10 @@ object Bench {
       // observed min, or a prior) fits above the floor — run 2 issued a
       // c2 round right at the floor, a steal window stretched it to
       // 145 s in flight, and the query suite lost its whole budget.
-      val gateFloor = 180.0
+      // 180 s protects the query suite + headline at the default 420 s
+      // budget; scale down proportionally if the driver ever runs with
+      // less so the gate phase still gets its share
+      val gateFloor = math.min(180.0, budgetSec * 0.43)
       def expSec(c: Child): Double = {
         val secs = trials.filter(_.cores == c.cores).map(_.sec)
         if (secs.nonEmpty) secs.min * 1.4
