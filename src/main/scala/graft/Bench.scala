@@ -467,10 +467,11 @@ object Bench {
       // the gate has passed (clean timings). pump() only fires while the
       // gate is unmet — then the raw trials + steal deltas document the
       // contamination the gate chase cost.
-      // Suite order is adaptive around the two measured heavy hitters
-      // (the ~25 s splitter and the ~7 s image bridge): on a QUIET box
-      // they run FIRST, so an ambient slowdown later clips ~1 s queries
-      // instead of them (run 6 lost the splitter to the budget tail);
+      // Suite order is adaptive around the measured heavy hitters
+      // (splitter, extract tree, image bridge, checkpoint resume — each
+      // 7-30 s at bench sf): on a QUIET box they run FIRST, so an
+      // ambient slowdown later clips ~1 s queries instead of them (run
+      // 6 lost the splitter to the budget tail);
       // in a DISTURBED window they run LAST — under a steal storm they
       // would only burn their timeouts (2×45 s, run 8) while the cheap
       // queries that could still finish get the budget.
@@ -522,10 +523,10 @@ object Bench {
         }
       }
 
-      // ---- the verify headline's timed pass, on the idle box, inside
-      // its own reserved slice (r02 skipped this at 390/420 s). This is
-      // the ONLY place recordsPerSec is set, so the floor is low: a
-      // ~5-10 s pass beats reporting nothing.
+      // ---- the verify headline's END re-time, on the idle box, inside
+      // its own reserved slice (r02 skipped this at 390/420 s); the
+      // early pass guarantees a number exists, this one usually
+      // improves it — keep the best (steal only ever slows a pass).
       if (remaining > 25 && nRecords > 0) {
         try {
           val dirty = SparkEntry.dirtyRecordsFor(spark, sfDir)
