@@ -378,9 +378,29 @@ object SparkEntry {
     // reproduces the construction, so VerifyOp.segmentProblems' grouping,
     // contiguity check, and length sum are all value-gated.
     "q62_segments_verify" -> ((s, dir) => {
-      val w = Window.orderBy("o_orderkey")
-      val seg = ft(s, dir, "orders").select(col("o_orderkey"))
-        .withColumn("rk", row_number().over(w).cast("long"))
+      // global rank without the single-reducer Window.orderBy funnel:
+      // two-phase distributed rank — per-bucket counts (bucket = an
+      // order-preserving o_orderkey range) prefix-summed into offsets
+      // (a window over BUCKET-cardinality rows only), broadcast back,
+      // rank = offset + row_number within bucket. Identical to
+      // row_number() over (ORDER BY o_orderkey) since o_orderkey is
+      // unique; per-reducer work is bounded by the bucket width.
+      val src = ft(s, dir, "orders").select(col("o_orderkey"))
+      val bucketExpr = floor(col("o_orderkey") / 4096).cast("long").as("b")
+      // prefix-summed on the driver: bucket cardinality is bounded by
+      // max(o_orderkey)/4096 and the offsets table is broadcast back
+      // anyway, so it materializes driver-side regardless — this just
+      // skips the unpartitioned window that computed the same thing
+      val cnts = src.groupBy(bucketExpr).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offs = cnts.map(_._1).zip(
+        cnts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      import s.implicits._
+      val offsets = offs.toSeq.toDF("b", "off")
+      val wB = Window.partitionBy("b").orderBy("o_orderkey")
+      val seg = src.withColumn("b", bucketExpr)
+        .join(broadcast(offsets), "b")
+        .withColumn("rk", (row_number().over(wB) + col("off")).cast("long"))
         .select(((col("rk") - 1) / 8).cast("long").as("c"),
           (pmod(col("rk") - 1, lit(8)) + 1).as("n"),
           (lit(100) + pmod(col("rk"), lit(50))).as("len"))
@@ -977,14 +997,15 @@ object SparkEntry {
       // the big file must not accrete in /tmp
       new java.io.File(file).deleteOnExit()
       new java.io.File(tmp).deleteOnExit()
-      // ONE decode pass: the global checks (distinct offsets, >1 scan
-      // task) are window aggregates over the light projected columns —
-      // an agg + crossJoin formulation re-decoded the ~300 MB file a
-      // second time and pushed the query past the bench's per-query
-      // watchdog on slow-ambient windows (persisting the decoded
-      // records was also tried: slower, object-form rows bloat storage
-      // memory). pid is projected BELOW the window exchanges, so it
-      // still identifies the DECODE task.
+      // ONE decode pass: the heavy work is the ~300 MB gunzip+parse, so
+      // the LIGHT projection (5 scalar columns, ~1 MB) is persisted and
+      // the global checks (distinct offsets, >1 scan task) run as a
+      // plain aggregate over the cache — no Window.partitionBy(lit(1))
+      // single-reducer funnel, no second decode (an agg + crossJoin
+      // formulation re-decoded the file and blew the 45 s watchdog on
+      // slow-ambient windows; persisting the full decoded RECORDS was
+      // also tried: object-form rows bloat storage memory). pid is
+      // captured at scan time, so it still identifies the DECODE task.
       val ds = graft.sources.WarcSplit.readSplit(s, file, splitBytes = 2L << 20).toDF()
       val recId = regexp_extract(
         FieldOps.fieldGet(col("fields"), "WARC-Record-ID"), "<urn:split:([0-9]+)>", 1)
@@ -997,13 +1018,13 @@ object SparkEntry {
         digestOk(FieldOps.fieldGet(col("fields"), "WARC-Block-Digest"),
           col("bytes")).as("digest_ok"),
         col("position"), spark_partition_id().as("pid"))
-      val wPos = Window.partitionBy("position")
-      val wAll = Window.partitionBy(lit(1))
-      base
-        .withColumn("pos_cnt", count(lit(1)).over(wPos))
-        .withColumn("pos_ok", (max(col("pos_cnt")).over(wAll) === 1L).as("pos_ok"))
-        .withColumn("split_ok", max(col("pid")).over(wAll) > min(col("pid")).over(wAll))
-        .select("rec_id", "len_ok", "digest_ok", "pos_ok", "split_ok")
+        .persist()
+      val flags = base.agg(
+        (countDistinct(col("position")) === count(lit(1))).as("pos_ok"),
+        (max(col("pid")) > min(col("pid"))).as("split_ok")).head()
+      base.select(col("rec_id"), col("len_ok"), col("digest_ok"),
+        lit(flags.getBoolean(0)).as("pos_ok"),
+        lit(flags.getBoolean(1)).as("split_ok"))
     }),
 
     // S8 extract-tree gate: REAL tree write with injected marker classes

@@ -29,9 +29,115 @@ object Canonical {
   // CanonicalSpec). Kept as plain functions so batch and streaming share
   // the exact same bytes-in/bytes-out behavior.
 
-  /** Scala-side canonicalization (the engine contract above). */
+  /** Scala-side canonicalization (the engine contract above).
+    *
+    * Fast path: one allocation-free scan proves the URL is ALREADY
+    * canonical and returns the input string itself. Most real crawl
+    * URLs (and all synthetic bench URLs) are already canonical, and the
+    * slow path allocates ~8 intermediate substrings per row — at 8
+    * threads over 10^7 rows that allocation rate was a measured
+    * memory-bandwidth/GC pressure source in the frontier round (BENCH.md:
+    * slow-ambient windows inflated the 8-thread side ~19%). The scan is
+    * CONSERVATIVE: any case it cannot cheaply prove canonical (non-ASCII
+    * scheme/host, IPv6-ish colons, userinfo, unsorted query) falls
+    * through to the slow path, so the output contract is bit-identical
+    * (property-tested in CanonicalSpec: fastpath ⇒ slow(url) == url).
+    */
   def canonicalize(url: String): String = {
     if (url == null) return null
+    if (isCanonical(url)) return url
+    canonicalizeSlow(url)
+  }
+
+  /** True only if [[canonicalizeSlow]] would return `url` unchanged
+    * (false negatives allowed, false positives not).
+    */
+  private[graft] def isCanonical(url: String): Boolean = {
+    val len = url.length
+    var i = 0
+    // no fragment anywhere
+    while (i < len) { if (url.charAt(i) == '#') return false; i += 1 }
+    // scheme: chars before the FIRST ':' must be [a-z0-9+.-] (ASCII
+    // lowercase ⇒ toLowerCase is identity); no ':' at all ⇒ passthrough
+    val schemeEnd = url.indexOf(':')
+    if (schemeEnd < 0) return true
+    i = 0
+    while (i < schemeEnd) {
+      val c = url.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '+' || c == '.' || c == '-'
+      if (!ok) return false
+      i += 1
+    }
+    // scheme-only rewrite when not followed by "://": lowercase scheme
+    // already verified ⇒ unchanged
+    if (!url.regionMatches(schemeEnd, "://", 0, 3)) return true
+    val authStart = schemeEnd + 3
+    var authEnd = authStart
+    var lastColon = -1
+    while (authEnd < len && url.charAt(authEnd) != '/' && url.charAt(authEnd) != '?') {
+      val c = url.charAt(authEnd)
+      if (c == '@') return false // userinfo would be stripped
+      if (c == ':') lastColon = authEnd
+      if ((c >= 'A' && c <= 'Z') || c >= 128) return false // host lowercasing
+      authEnd += 1
+    }
+    // empty path would become "/"
+    if (authEnd >= len || url.charAt(authEnd) != '/') return false
+    val hostEnd = if (lastColon >= 0) lastColon else authEnd
+    // trailing host dot would be stripped
+    if (hostEnd > authStart && url.charAt(hostEnd - 1) == '.') return false
+    if (lastColon >= 0) {
+      // port: non-empty digits (bare ':' is dropped; non-digits merge the
+      // colon into the host — slow path decides), and not the default
+      if (lastColon + 1 >= authEnd) return false
+      i = lastColon + 1
+      while (i < authEnd) {
+        val c = url.charAt(i)
+        if (c < '0' || c > '9') return false
+        i += 1
+      }
+      val portLen = authEnd - lastColon - 1
+      if (portLen == 2 && url.regionMatches(lastColon + 1, "80", 0, 2) &&
+          schemeEnd == 4 && url.regionMatches(0, "http", 0, 4)) return false
+      if (portLen == 3 && url.regionMatches(lastColon + 1, "443", 0, 3) &&
+          schemeEnd == 5 && url.regionMatches(0, "https", 0, 5)) return false
+    }
+    // query: '&'-separated params must already be in sorted order
+    // (String.compareTo, matching the slow path's Array[String].sorted)
+    val qIdx = url.indexOf('?', authEnd)
+    if (qIdx < 0) return true
+    // a bare trailing '?' (empty query) is dropped by the slow path
+    if (qIdx == len - 1) return false
+    var prevStart = qIdx + 1
+    var prevEnd = prevStart
+    while (prevEnd < len && url.charAt(prevEnd) != '&') prevEnd += 1
+    while (prevEnd < len) { // prevEnd sits on '&'
+      val curStart = prevEnd + 1
+      var curEnd = curStart
+      while (curEnd < len && url.charAt(curEnd) != '&') curEnd += 1
+      // compare [prevStart,prevEnd) <= [curStart,curEnd) in code-unit order
+      val la = prevEnd - prevStart
+      val lb = curEnd - curStart
+      var k = 0
+      val m = math.min(la, lb)
+      var cmp = 0
+      while (k < m && cmp == 0) {
+        cmp = url.charAt(prevStart + k) - url.charAt(curStart + k)
+        k += 1
+      }
+      if (cmp == 0) cmp = la - lb
+      if (cmp > 0) return false
+      prevStart = curStart
+      prevEnd = curEnd
+    }
+    true
+  }
+
+  /** The slow (allocating) canonicalizer — the contract's reference
+    * implementation; the fast path above must agree with it exactly.
+    */
+  private[graft] def canonicalizeSlow(url: String): String = {
     val hashIdx = url.indexOf('#')
     val noFrag = if (hashIdx >= 0) url.substring(0, hashIdx) else url
     val schemeEnd = noFrag.indexOf(':')
@@ -75,23 +181,37 @@ object Canonical {
     */
   def hostOfString(url: String): String = {
     if (url == null) return null
+    // index-based single pass: exactly one substring allocation (plus
+    // toLowerCase only when the host actually has uppercase) — the
+    // narrow pre-exchange stage runs this once per frontier row
     val hashIdx = url.indexOf('#')
-    val noFrag = if (hashIdx >= 0) url.substring(0, hashIdx) else url
-    val schemeEnd = noFrag.indexOf(':')
-    if (schemeEnd < 0 || !noFrag.regionMatches(schemeEnd, "://", 0, 3)) return ""
+    val end0 = if (hashIdx >= 0) hashIdx else url.length
+    val schemeEnd = url.indexOf(':')
+    if (schemeEnd < 0 || schemeEnd >= end0 ||
+        end0 - schemeEnd < 3 || !url.regionMatches(schemeEnd, "://", 0, 3)) return ""
     val authStart = schemeEnd + 3
     var i = authStart
-    while (i < noFrag.length && noFrag.charAt(i) != '/' && noFrag.charAt(i) != '?') i += 1
-    val authority = noFrag.substring(authStart, i)
-    val at = authority.lastIndexOf('@')
-    val hostPort = if (at >= 0) authority.substring(at + 1) else authority
-    val colon = hostPort.lastIndexOf(':')
-    val host0 =
-      if (colon >= 0 && hostPort.substring(colon + 1).forall(_.isDigit))
-        hostPort.substring(0, colon)
-      else hostPort
-    val h = host0.toLowerCase
-    if (h.endsWith(".")) h.substring(0, h.length - 1) else h
+    var lastAt = -1
+    var lastColon = -1
+    while (i < end0 && url.charAt(i) != '/' && url.charAt(i) != '?') {
+      val c = url.charAt(i)
+      if (c == '@') { lastAt = i; lastColon = -1 }
+      else if (c == ':') lastColon = i
+      i += 1
+    }
+    val hpStart = if (lastAt >= 0) lastAt + 1 else authStart
+    var hostEnd = i
+    if (lastColon >= hpStart) {
+      var j = lastColon + 1
+      var digits = true
+      while (j < i && digits) {
+        if (!Character.isDigit(url.charAt(j))) digits = false
+        j += 1
+      }
+      if (digits) hostEnd = lastColon // ":" + digits (or bare ":") = port
+    }
+    if (hostEnd > hpStart && url.charAt(hostEnd - 1) == '.') hostEnd -= 1
+    url.substring(hpStart, hostEnd).toLowerCase
   }
 
   private val canonicalUdf = udf((u: String) => canonicalize(u))

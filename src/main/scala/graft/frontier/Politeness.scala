@@ -89,6 +89,22 @@ object Politeness {
     spark.sparkContext.broadcast(m)
   }
 
+  /** Size-aware robots stage, safe to call blind: collects the table
+    * into a crawl-lifetime map broadcast ([[robotsBroadcast]], the
+    * zero-per-round-cost form) while it fits under `maxHosts`, and
+    * FALLS BACK to the per-round broadcast join ([[applyRobots]]) past
+    * it instead of throwing — [[robotsBroadcast]]'s hard `require` made
+    * the cached round path unsafe to call without a prior size check.
+    * Output equality of the two forms is spec-tested (EngineSpec) and
+    * oracle-gated (q26 runs both paths).
+    */
+  def robotsStage(robots: DataFrame,
+                  maxHosts: Long = 20000000L): DataFrame => DataFrame =
+    if (robots.count() <= maxHosts) {
+      val bc = robotsBroadcast(robots, maxHosts)
+      applyRobotsMap(_, bc)
+    } else applyRobots(_, robots)
+
   /** [[applyRobots]] semantics over a pre-built [[robotsBroadcast]] —
     * one scalar UDF (map lookup + prefix test), zero joins, zero
     * per-round broadcast builds. Returns the same rows and

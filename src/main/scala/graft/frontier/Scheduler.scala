@@ -98,6 +98,18 @@ object Scheduler {
     runRoundImpl(rawFrontier, seenKeys, Politeness.applyRobotsMap(_, robotsBc),
       perHostBudget, numBloomBuckets, maxPerHostPerRound)
 
+  /** [[runRound]] over an arbitrary robots stage — pair with
+    * [[Politeness.robotsStage]] for the size-aware auto form (map
+    * broadcast under the guard, per-round join past it) that is safe to
+    * call without knowing the robots-table cardinality.
+    */
+  def runRoundStaged(rawFrontier: DataFrame, seenKeys: DataFrame,
+                     robotsStage: DataFrame => DataFrame,
+                     perHostBudget: Int = 100, numBloomBuckets: Int = 64,
+                     maxPerHostPerRound: Int = -1): DataFrame =
+    runRoundImpl(rawFrontier, seenKeys, robotsStage,
+      perHostBudget, numBloomBuckets, maxPerHostPerRound)
+
   /** Dedupe with the SAME winner as [[dedupeWithinBatch]] (first row per
     * canonical_url in (canonical_url, priority_band, url) order = the
     * min-(band, url) row) but expressed as a window over hash(host)
@@ -109,11 +121,21 @@ object Scheduler {
     * form would collapse them — both deterministic.
     */
   private[frontier] def dedupeWithinHost(canonical: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("host")
-      .orderBy(col("canonical_url").asc, col("priority_band").asc, col("url").asc)
+    // partitionBy(host, canonical_url): hashpartitioning(host) satisfies
+    // the clustered distribution (subset rule) so no extra exchange, and
+    // the window sort (host, canonical_url, band, url) is the same total
+    // order the previous lag-over-host form sorted by. row_number==1
+    // keeps the min-(band, url) row per canonical key — including the
+    // all-null canonical group (null url rows), which the earlier
+    // lag(...) === ... comparison silently kept in full (null === null
+    // is null): dedupeWithinBatch collapses those to one row, and now
+    // this form does too.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host", "canonical_url")
+      .orderBy(col("priority_band").asc, col("url").asc)
     canonical
-      .withColumn("__dup", lag("canonical_url", 1).over(w) === col("canonical_url"))
-      .where(col("__dup").isNull || !col("__dup")).drop("__dup")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
   }
 
   private def runRoundImpl(rawFrontier: DataFrame, seenKeys: DataFrame,
@@ -159,13 +181,36 @@ object Scheduler {
       // there. (A fully-fused seen path exists on paper — confirm via a
       // broadcast of seen∩bloom-positive keys instead of an anti-join —
       // and is the documented next step if profiling demands it.)
+      // Cold-leg shuffle carries ONLY (url, priority_band, host, …input
+      // cols): canonical_url, url_key and host_hash are all derivable
+      // from url/host, so they are computed POST-exchange (executor-side,
+      // same stage as the window sort) instead of being materialized into
+      // the full-frontier shuffle. At ~45 B of canonical string + 16 B of
+      // hashes per row that is ~45% of the round's full-frontier shuffle
+      // bytes — network cost at cluster scale, memory-bandwidth pressure
+      // in local mode (the measured reason the 8-thread side degraded
+      // harder under slow ambient windows, BENCH.md). The explicit
+      // repartition(host) IS the one exchange: hashpartitioning(host)
+      // satisfies every downstream window's required distribution, so
+      // dedupe, robots and the politeness window all reuse it.
       val hotHosts = hotHostSet(rawFrontier, cap)
-      val flagged = canon.join(broadcast(hotHosts), Seq("host"), "left")
+      val withHost = rawFrontier.withColumn("host", Canonical.hostOf(col("url")))
+      val flagged = withHost.join(broadcast(hotHosts), Seq("host"), "left")
       val hot = flagged.where(col("__hot")).drop("__hot")
       val cold = flagged.where(col("__hot").isNull).drop("__hot")
+      // hot leg (tiny, over-cap hosts only): derive keys up front — the
+      // url_key agg-dedupe needs them pre-exchange anyway
+      val hotKeyed = hot
+        .withColumn("canonical_url", Canonical.canonicalUrl(col("url")))
+        .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
+        .withColumn("host_hash", Canonical.hostHash(col("host")))
       val hotSched = Politeness.schedule(
-        Politeness.capPerHost(robotsStage(dedupeWithinBatch(hot)), cap))
-      val coldSched = Politeness.schedule(robotsStage(dedupeWithinHost(cold)))
+        Politeness.capPerHost(robotsStage(dedupeWithinBatch(hotKeyed)), cap))
+      val coldSched = Politeness.schedule(robotsStage(dedupeWithinHost(
+          cold.repartition(col("host"))
+            .withColumn("canonical_url", Canonical.canonicalUrl(col("url"))))))
+        .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
+        .withColumn("host_hash", Canonical.hostHash(col("host")))
       finish(hotSched.unionByName(coldSched))
     } else {
       val deduped = dedupeWithinBatch(canon)

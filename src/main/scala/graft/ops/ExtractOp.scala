@@ -136,8 +136,9 @@ object ExtractOp {
       //    job, not the sink's).
       // Non-local schemes keep the stock FileSystem — the sink stays
       // HDFS/S3-swappable.
+      val isRawLocal = scheme == null || scheme == "file"
       val fs: org.apache.hadoop.fs.FileSystem =
-        if (scheme == null || scheme == "file") {
+        if (isRawLocal) {
           val raw = new org.apache.hadoop.fs.RawLocalFileSystem() {
             override def setPermission(p: org.apache.hadoop.fs.Path,
                 permission: org.apache.hadoop.fs.permission.FsPermission): Unit = ()
@@ -167,6 +168,14 @@ object ExtractOp {
         // large tree was the other half of the slow sink)
         val parent = target.getParent
         if (madeDirs.add(parent.toString)) fs.mkdirs(parent)
+        // overwriting a tree previously written through the CHECKSUMMED
+        // LocalFileSystem would leave its .crc sidecar stale (a later
+        // checksummed read then fails with ChecksumException) — drop any
+        // sibling sidecar; one unlink attempt per file, no shell fork
+        if (isRawLocal)
+          try fs.delete(new org.apache.hadoop.fs.Path(parent,
+            "." + target.getName + ".crc"), false)
+          catch { case _: java.io.IOException => () }
         val out = fs.create(target, true)
         try out.write(bytes) finally out.close()
         (resolved.mkString("/"), bytes.length.toLong)

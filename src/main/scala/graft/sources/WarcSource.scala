@@ -134,18 +134,27 @@ object WarcSource {
                       gzip: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val partsDir = path + ".parts"
-    write(records, partsDir, gzip)
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val parts = fs.globStatus(new Path(partsDir, "part-*"))
-      .sortBy(_.getPath.getName)
-    val out = fs.create(p, true)
-    try parts.foreach { st =>
-      val in = fs.open(st.getPath)
-      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
-      finally in.close()
-    } finally out.close()
-    fs.delete(new Path(partsDir), true)
+    // the session's Hadoop conf, not a bare new Configuration(): the
+    // driver-side concat must resolve non-local schemes (s3a/hdfs/...)
+    // with the same settings the executors used to write the parts
+    val fs = p.getFileSystem(
+      records.sparkSession.sparkContext.hadoopConfiguration)
+    try {
+      write(records, partsDir, gzip)
+      val parts = fs.globStatus(new Path(partsDir, "part-*"))
+        .sortBy(_.getPath.getName)
+      val out = fs.create(p, true)
+      try parts.foreach { st =>
+        val in = fs.open(st.getPath)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
+        finally in.close()
+      } finally out.close()
+    } finally {
+      // the transient parts dir (up to the full archive size) must not
+      // survive a failed write/concat
+      try fs.delete(new Path(partsDir), true) catch { case _: Exception => () }
+    }
     ()
   }
 

@@ -119,6 +119,24 @@ class PolitenessSpec extends AnyFunSuite {
     assert(e.getMessage.contains("per-round broadcast join"))
   }
 
+  test("robotsStage auto-fallback: identical round output on either side of the guard") {
+    // 50 hosts vs maxHosts 49/50: one side takes the map-broadcast form,
+    // the other falls back to the per-round join — same rows either way,
+    // and neither throws (the point of the auto form)
+    val raw = Synth.frontierSeed(spark, 2500, nHosts = 50).toDF()
+      .select($"url", $"priority_band")
+    val robots = Synth.robots(spark, 50).toDF()
+    val seen = Scheduler.loadSeen(spark, "/tmp/none")
+    val cols = Seq("canonical_url", "host_seq", "scheduled_ms", "batch_id")
+    val viaMap = Scheduler.runRoundStaged(raw, seen,
+        Politeness.robotsStage(robots, maxHosts = 50L))
+      .select(cols.map(col): _*)
+    val viaJoin = Scheduler.runRoundStaged(raw, seen,
+        Politeness.robotsStage(robots, maxHosts = 49L))
+      .select(cols.map(col): _*)
+    assert(viaMap.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaMap).isEmpty)
+  }
+
   test("full round: dedupe removes injected ~10% duplicates; batches respect budget") {
     val raw = Synth.frontierSeed(spark, 2000, nHosts = 30).toDF()
       .select($"url", $"priority_band")

@@ -92,6 +92,72 @@ class PropertySpec extends AnyFunSuite {
     assert(once.toSeq == twice.toSeq)
   }
 
+  test("canonicalize fast path agrees with the slow reference on adversarial URLs") {
+    import graft.frontier.Canonical
+    // structured generator biased toward fast-path boundaries: default
+    // ports, trailing dots/colons, userinfo, unsorted/empty query params,
+    // fragments, uppercase in every position, IPv6-ish colons
+    val pieces = for (i <- 0 until 4000) yield {
+      val rng = new Synth.Rng(202600L + i)
+      def pick(xs: Seq[String]) = xs(rng.nextInt(xs.size))
+      pick(Seq("http", "https", "HTTP", "ftp", "a+b-c.1", "")) +
+        pick(Seq("://", ":", "")) +
+        pick(Seq("", "user@", "u:p@")) +
+        pick(Seq("h0.example.test", "H0.Example.Test", "h0.example.test.",
+          "xn--bcher-kva.test", "[::1]", "127.0.0.1", "h0..", "")) +
+        pick(Seq("", ":80", ":443", ":8080", ":", ":0080", ":a1", ":٨٠")) +
+        pick(Seq("", "/", "/p/1", "/P/1?", "/p?b=2&a=1", "/p?a=1&b=2",
+          "/p?a=1&a=1", "/p?", "/p?&", "/p?x", "?q=1")) +
+        pick(Seq("", "#f", "#", "#x#y"))
+    }
+    // plus raw adversarial strings
+    val raw = Seq("", ":", "://", ":///", "a:b:c", "https://", "http://:80/",
+      "http://h:80", "scheme+x://h/", "https://h.:443/p", "x\u0000://h/")
+    for (u <- pieces ++ raw) {
+      val slow = Canonical.canonicalizeSlow(u)
+      assert(Canonical.canonicalize(u) == slow, s"dispatch diverges on <$u>")
+      if (Canonical.isCanonical(u))
+        assert(slow == u, s"fast path false-positive on <$u> (slow=<$slow>)")
+      // idempotence: the canonical form must itself be canonical-stable
+      assert(Canonical.canonicalize(slow) == Canonical.canonicalizeSlow(slow),
+        s"second pass diverges on <$slow>")
+    }
+  }
+
+  test("hostOfString matches the allocating reference implementation") {
+    import graft.frontier.Canonical
+    def ref(url: String): String = { // the pre-round-4 implementation, verbatim
+      if (url == null) return null
+      val hashIdx = url.indexOf('#')
+      val noFrag = if (hashIdx >= 0) url.substring(0, hashIdx) else url
+      val schemeEnd = noFrag.indexOf(':')
+      if (schemeEnd < 0 || !noFrag.regionMatches(schemeEnd, "://", 0, 3)) return ""
+      val authStart = schemeEnd + 3
+      var i = authStart
+      while (i < noFrag.length && noFrag.charAt(i) != '/' && noFrag.charAt(i) != '?') i += 1
+      val authority = noFrag.substring(authStart, i)
+      val at = authority.lastIndexOf('@')
+      val hostPort = if (at >= 0) authority.substring(at + 1) else authority
+      val colon = hostPort.lastIndexOf(':')
+      val host0 =
+        if (colon >= 0 && hostPort.substring(colon + 1).forall(_.isDigit))
+          hostPort.substring(0, colon)
+        else hostPort
+      val h = host0.toLowerCase
+      if (h.endsWith(".")) h.substring(0, h.length - 1) else h
+    }
+    for (i <- 0 until 4000) {
+      val rng = new Synth.Rng(909100L + i)
+      def pick(xs: Seq[String]) = xs(rng.nextInt(xs.size))
+      val u = pick(Seq("http", "HTTPS", "", "a.b")) + pick(Seq("://", ":", "")) +
+        pick(Seq("", "u@", "u:p@", "@")) +
+        pick(Seq("h.Test", "h.test.", "[::1]", "", ".", "h:x")) +
+        pick(Seq("", ":80", ":", ":9x", ":٨٠")) +
+        pick(Seq("", "/p", "?q", "#f", "/p#f", "#:zz@"))
+      assert(Canonical.hostOfString(u) == ref(u), s"host diverges on <$u>")
+    }
+  }
+
   test("percent encode ⇄ decode round-trips %-free strings") {
     val strGen = Gen.listOf(Gen.oneOf(Gen.asciiPrintableChar, Gen.alphaChar,
       Gen.oneOf('/', '\\', ':', '?', '"', '<', '>', '|', 'ÿ', '漢')))
