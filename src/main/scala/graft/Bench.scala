@@ -494,8 +494,8 @@ object Bench {
       // in a DISTURBED window they run LAST — under a steal storm they
       // would only burn their timeouts (2×45 s, run 8) while the cheap
       // queries that could still finish get the budget.
-      val heavy = Seq("q61_warc_split", "q64_extract_tree",
-        "q59_warc_to_images", "q66_checkpoint_resume")
+      val heavy = Seq("q61_warc_split", "q67_warc_zstd_split",
+        "q64_extract_tree", "q59_warc_to_images", "q66_checkpoint_resume")
       val disturbed = trials.exists(_.steal > 10.0) ||
         highSecs.nonEmpty && highSecs.min > 22.0
       val suite =

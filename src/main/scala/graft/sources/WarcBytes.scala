@@ -369,7 +369,7 @@ object WarcBytes {
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
-  private def readLe32(b: Array[Byte], pos: Int): Int =
+  private[sources] def readLe32(b: Array[Byte], pos: Int): Int =
     (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
       ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
 

@@ -131,7 +131,12 @@ object WarcSource {
     * ~300 MB file at 32 cores).
     */
   def writeSingleFile(records: Dataset[WarcRecord], path: String,
-                      gzip: Boolean = false): Unit = {
+                      gzip: Boolean = false): Unit =
+    writeSingleFile(records, path, if (gzip) "gzip" else "none")
+
+  /** Codec-parameterized [[writeSingleFile]]: "none" | "gzip" | "zstd". */
+  def writeSingleFile(records: Dataset[WarcRecord], path: String,
+                      codec: String): Unit = {
     import org.apache.hadoop.fs.Path
     val partsDir = path + ".parts"
     val p = new Path(path)
@@ -141,7 +146,7 @@ object WarcSource {
     val fs = p.getFileSystem(
       records.sparkSession.sparkContext.hadoopConfiguration)
     try {
-      write(records, partsDir, gzip)
+      write(records, partsDir, codec)
       val parts = fs.globStatus(new Path(partsDir, "part-*"))
         .sortBy(_.getPath.getName)
       val out = fs.create(p, true)
@@ -158,8 +163,21 @@ object WarcSource {
     ()
   }
 
-  def write(records: Dataset[WarcRecord], dir: String, gzip: Boolean = false): Unit = {
-    val ext = if (gzip) ".warc.gz" else ".warc"
+  def write(records: Dataset[WarcRecord], dir: String, gzip: Boolean = false): Unit =
+    write(records, dir, if (gzip) "gzip" else "none")
+
+  /** Codec-parameterized sink: "none" | "gzip" | "zstd" — zstd writes one
+    * frame per record (record-at-time, reference compress.rs:174-196 +
+    * encode.rs:108-113), so the output is splittable by [[WarcSplit]]
+    * exactly like the gzip form.
+    */
+  def write(records: Dataset[WarcRecord], dir: String, codec: String): Unit = {
+    val ext = codec match {
+      case "gzip" => ".warc.gz"
+      case "zstd" => ".warc.zst"
+      case "none" => ".warc"
+      case other => throw new IllegalArgumentException(s"unknown codec $other")
+    }
     records.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -168,19 +186,32 @@ object WarcSource {
         val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$ext")
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val out = fs.create(path, true)
+        // one compress context per PARTITION, one frame per record
+        val zctx =
+          if (codec == "zstd") {
+            val c = new com.github.luben.zstd.ZstdCompressCtx()
+            c.setLevel(3)
+            Some(c)
+          } else None
         try {
           it.foreach { r =>
             val plain = WarcBytes.encodeRecords(Seq(r))
-            if (gzip) {
-              // one gzip member per record: record-at-time compression
-              val gz = new java.util.zip.GZIPOutputStream(out) {
-                `def`.setLevel(Deflater.BEST_SPEED)
-              }
-              gz.write(plain)
-              gz.finish()
-            } else out.write(plain)
+            codec match {
+              case "gzip" =>
+                // one gzip member per record: record-at-time compression
+                val gz = new java.util.zip.GZIPOutputStream(out) {
+                  `def`.setLevel(Deflater.BEST_SPEED)
+                }
+                gz.write(plain)
+                gz.finish()
+              case "zstd" => out.write(zctx.get.compress(plain))
+              case _ => out.write(plain)
+            }
           }
-        } finally out.close()
+        } finally {
+          zctx.foreach(_.close())
+          out.close()
+        }
         Iterator.single(path.toString)
       }
     }.collect()

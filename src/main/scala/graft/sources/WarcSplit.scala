@@ -30,9 +30,16 @@ import java.util.zip.Inflater
   * Whole-file [[WarcSource.read]] keeps the uncompressed-offset semantics;
   * the two are documented twins.
   *
-  * Memory per task: one range buffer (≤ splitBytes + 1 KiB validation
-  * tail) + one record. Plain/zstd single files fall back to
-  * [[WarcSource.read]] (per-file parallelism).
+  * Record-at-time ZSTD archives (one frame per record,
+  * reference compress.rs:174-196) split the same way: frame magic
+  * `28 b5 2f fd` validated by decoding the frame's first plaintext bytes
+  * to `WARC/`; mid-file skippable frames are skipped. Archives led by a
+  * skippable DICTIONARY frame are rejected (mid-file tasks cannot decode
+  * dictionaried frames independently) — use [[WarcSource.read]].
+  *
+  * Memory per task: one range buffer (≤ splitBytes + the format's
+  * validation tail: 1 KiB gzip, 256 KiB zstd) + one record. Plain files
+  * fall back to [[WarcSource.read]] (per-file parallelism).
   */
 object WarcSplit {
 
@@ -40,6 +47,19 @@ object WarcSplit {
     * VALIDATED (gzip header + enough deflate to prove "WARC/").
     */
   private val ValidationTail = 1024
+
+  /** Zstd needs a LARGER validation tail: the streaming decoder emits
+    * plaintext only on complete blocks (up to 128 KiB), so proving
+    * "WARC/" for a member that starts just before a range end can need
+    * the member's whole first block past the boundary — 1 KiB of
+    * deflate-style lookahead would silently SKIP such members (losing
+    * their records from every task). 256 KiB covers any legal block
+    * plus frame header at negligible cost vs the ≥2 MiB split size.
+    */
+  private val ZstdValidationTail = 256 << 10
+
+  private def tailFor(format: String): Int =
+    if (format == "zstd") ZstdValidationTail else ValidationTail
 
   /** True when `buf(i)` starts a genuine record-at-time member: gzip
     * magic + deflate method, and the member's first plaintext bytes are
@@ -66,15 +86,49 @@ object WarcSplit {
         finally inf.end()
       }
 
+  /** [[isMemberStart]] twin for record-at-time zstd: content-frame magic
+    * + the frame's first plaintext bytes prove `WARC/` (a magic inside
+    * compressed data, or a dictionary payload inside a skippable frame,
+    * fails the decode-prefix check). Insufficient bytes → false.
+    */
+  private[graft] def isZstdMemberStart(buf: Array[Byte], i: Int): Boolean =
+    i + 4 <= buf.length &&
+      buf(i) == WarcBytes.ZstdMagic(0) && buf(i + 1) == WarcBytes.ZstdMagic(1) &&
+      buf(i + 2) == WarcBytes.ZstdMagic(2) && buf(i + 3) == WarcBytes.ZstdMagic(3) && {
+        val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new java.io.ByteArrayInputStream(buf, i, buf.length - i))
+        try {
+          val out = new Array[Byte](5)
+          var got = 0
+          var n = 0
+          while (got < 5 && n >= 0) {
+            n = in.read(out, got, 5 - got)
+            if (n > 0) got += n
+          }
+          got == 5 && new String(out, "US-ASCII") == "WARC/"
+        } catch { case _: Exception => false }
+        finally in.close()
+      }
+
   /** Index of the first validated member start at-or-after `from`;
     * -1 when none exists in the buffer.
     */
-  private[graft] def findMemberStart(buf: Array[Byte], from: Int): Int = {
+  private[graft] def findMemberStart(buf: Array[Byte], from: Int,
+                                     format: String = "gzip"): Int = {
     var i = math.max(from, 0)
-    while (i + 3 <= buf.length) {
-      if (buf(i) == 0x1f.toByte && buf(i + 1) == 0x8b.toByte && buf(i + 2) == 8 &&
-        isMemberStart(buf, i)) return i
-      i += 1
+    if (format == "zstd") {
+      while (i + 4 <= buf.length) {
+        if (buf(i) == WarcBytes.ZstdMagic(0) && buf(i + 1) == WarcBytes.ZstdMagic(1) &&
+          buf(i + 2) == WarcBytes.ZstdMagic(2) && buf(i + 3) == WarcBytes.ZstdMagic(3) &&
+          isZstdMemberStart(buf, i)) return i
+        i += 1
+      }
+    } else {
+      while (i + 3 <= buf.length) {
+        if (buf(i) == 0x1f.toByte && buf(i + 1) == 0x8b.toByte && buf(i + 2) == 8 &&
+          isMemberStart(buf, i)) return i
+        i += 1
+      }
     }
     -1
   }
@@ -87,25 +141,75 @@ object WarcSplit {
     */
   private[graft] def decodeRange(readRange: (Long, Int) => Array[Byte], fileLen: Long,
                                    start: Long, end: Long, file: String,
-                                   maxRecordBytes: Int = 64 << 20): Iterator[WarcRecord] = {
+                                   maxRecordBytes: Int = 64 << 20,
+                                   format: String = "gzip"): Iterator[WarcRecord] = {
     if (start >= fileLen) return Iterator.empty
     val endB = math.min(end, fileLen)
     var bufStart = start
-    var buf = readRange(start, (math.min(endB + ValidationTail, fileLen) - start).toInt)
+    var buf = readRange(start,
+      (math.min(endB + tailFor(format), fileLen) - start).toInt)
 
     val first =
       if (start == 0L) {
-        require(buf.length >= 2 && WarcBytes.detectFormat(buf) == "gzip",
-          s"$file: not a gzip WARC (use WarcSource.read for plain/zstd)")
+        require(buf.length >= 2 && WarcBytes.detectFormat(buf) == format,
+          s"$file: head magic is not $format (use WarcSource.read)")
         0L
       } else {
-        val rel = findMemberStart(buf, 0)
+        val rel = findMemberStart(buf, 0, format)
         if (rel < 0 || start + rel >= endB) -1L else start + rel
       }
 
     new Iterator[WarcRecord] {
       private var abs = first
       private val pending = scala.collection.mutable.Queue.empty[WarcRecord]
+
+      /** Decode one member (gzip) / one frame after any skippable
+        * frames (zstd) at buffer offset `rel`; appends plaintext into
+        * `parser`, returns the offset just past it. Truncation by the
+        * buffer edge throws EOFException so the caller grows the window.
+        */
+      private def decodeOneMember(rel0: Int, parser: WarcBytes.RecordParser): Int =
+        if (format == "zstd") {
+          var rel = rel0
+          // mid-stream skippable frames carry no records: skip them (a
+          // LEADING dictionary frame is rejected by readSplit — member
+          // frames of a dictionaried archive cannot decode independently)
+          while (rel + 8 <= buf.length &&
+                 (WarcBytes.readLe32(buf, rel) & 0xfffffff0) == 0x184d2a50) {
+            val skipLen = WarcBytes.readLe32(buf, rel + 4) & 0xffffffffL
+            val next = rel.toLong + 8L + skipLen
+            if (next > buf.length) throw new EOFException(
+              s"$file: skippable frame at ${bufStart + rel} runs past buffer")
+            rel = next.toInt
+          }
+          if (rel >= buf.length) {
+            if (bufStart + rel >= fileLen) rel // trailing skippables at EOF
+            else throw new EOFException(
+              s"$file: frame head at ${bufStart + rel} truncated")
+          } else {
+            val fsize =
+              try com.github.luben.zstd.Zstd.findFrameCompressedSize(
+                buf, rel, buf.length - rel)
+              catch { case _: RuntimeException =>
+                throw new EOFException(
+                  s"$file: zstd frame at ${bufStart + rel} undecodable in buffer")
+              }
+            if (fsize <= 0 || rel + fsize > buf.length)
+              throw new EOFException(
+                s"$file: zstd frame at ${bufStart + rel} runs past buffer")
+            val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+              new java.io.ByteArrayInputStream(buf, rel, fsize.toInt))
+            try {
+              val chunk = new Array[Byte](65536)
+              var n = in.read(chunk)
+              while (n >= 0) {
+                if (n > 0) parser.append(chunk, 0, n)
+                n = in.read(chunk)
+              }
+            } finally in.close()
+            rel + fsize.toInt
+          }
+        } else WarcBytes.inflateMember(buf, rel0, parser)
 
       private def decodeMemberAt(offset: Long): Unit = {
         var window = (bufStart + buf.length - offset).toInt
@@ -114,10 +218,11 @@ object WarcSplit {
           val rel = (offset - bufStart).toInt
           val parser = new WarcBytes.RecordParser(file)
           try {
-            val relNext = WarcBytes.inflateMember(buf, rel, parser)
+            val relNext = decodeOneMember(rel, parser)
             parser.finish() // record-at-time: member ends ON a boundary
             var r = parser.next()
-            require(r.nonEmpty, s"$file: empty gzip member at offset $offset")
+            require(r.nonEmpty || bufStart + relNext >= fileLen,
+              s"$file: empty member at offset $offset")
             while (r.nonEmpty) { // tolerate multi-record members like read()
               pending += r.get.copy(position = offset)
               r = parser.next()
@@ -164,6 +269,29 @@ object WarcSplit {
     val path = new org.apache.hadoop.fs.Path(file)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fileLen = fs.getFileStatus(path).getLen
+    // one 8-byte head read classifies the archive: record-at-time gzip
+    // and zstd are both splittable (member/frame starts are record
+    // boundaries); a zstd archive LED by a skippable frame (the
+    // dictionary convention) is not — mid-file tasks cannot decode
+    // dictionaried frames independently — so reject it loudly
+    val head = {
+      val a = new Array[Byte](math.min(8L, fileLen).toInt)
+      val in = fs.open(path)
+      try in.readFully(a) finally in.close()
+      a
+    }
+    val format = WarcBytes.detectFormat(head) match {
+      case "gzip" => "gzip"
+      case "zstd" =>
+        require(head.length < 8 ||
+          (WarcBytes.readLe32(head, 0) & 0xfffffff0) != 0x184d2a50,
+          s"$file: zstd WARC with a leading skippable/dictionary frame " +
+            "is not splittable — use WarcSource.read")
+        "zstd"
+      case other => throw new IllegalArgumentException(
+        s"$file: format $other is not record-at-time splittable " +
+          "(use WarcSource.read)")
+    }
     val nSplits = math.max(1L, (fileLen + splitBytes - 1) / splitBytes).toInt
     val fileStr = path.toString
     val rdd = spark.sparkContext
@@ -180,7 +308,7 @@ object WarcSplit {
           a
         }
         decodeRange(readRange, fileLen, i * splitBytes,
-          math.min((i + 1L) * splitBytes, fileLen), fileStr, maxRecordBytes)
+          math.min((i + 1L) * splitBytes, fileLen), fileStr, maxRecordBytes, format)
       }
     spark.createDataset(rdd)
   }

@@ -95,6 +95,72 @@ class WarcSplitSpec extends AnyFunSuite {
     assert(ids(single).sameElements(ids(seqFile)))
   }
 
+  test("zstd: split read == whole-file read at every split size; >1 task; get() works") {
+    val records = Synth.warcRecords(round = 5, n = 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-split-zstd").toString
+    import spark.implicits._
+    WarcSource.write(spark.createDataset(records).coalesce(1), dir, "zstd")
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.zst")).head.toString
+    val whole = WarcSource.read(spark, dir).collect().map(key).sorted.toSeq
+    assert(whole == records.map(key).sorted)
+    val fileLen = new java.io.File(file).length()
+    for (splitBytes <- Seq(1000L, 4096L, fileLen / 3, fileLen * 2)) {
+      val ds = WarcSplit.readSplit(spark, file, splitBytes)
+      val nTasks = ds.select(spark_partition_id()).distinct().count()
+      val got = ds.collect()
+      assert(got.map(key).sorted.toSeq == whole, s"splitBytes=$splitBytes")
+      if (splitBytes < fileLen) assert(nTasks > 1, s"splitBytes=$splitBytes: one task")
+      val pos = got.map(_.position).sorted
+      assert(pos.distinct.length == pos.length)
+    }
+    // positions are byte-seek offsets for the point lookup too
+    val got = WarcSplit.readSplit(spark, file, splitBytes = 2000L)
+      .collect().sortBy(_.position)
+    for (r <- got.take(2) ++ got.takeRight(2)) {
+      val viaGet = WarcSource.get(spark, file, r.position)
+      assert(viaGet.isDefined && viaGet.get.bytes.sameElements(r.bytes),
+        s"get miss at ${r.position}")
+    }
+  }
+
+  test("zstd: writeSingleFile round-trips and splits; dictionaried archive is rejected") {
+    val records = Synth.warcRecords(round = 6, n = 40)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-split-zstd1").toString
+    val file = s"$tmp/one.warc.zst"
+    WarcSource.writeSingleFile(spark.createDataset(records), file, "zstd")
+    val got = WarcSplit.readSplit(spark, file, splitBytes = 3000L).collect()
+    assert(got.map(key).sorted.toSeq == records.map(key).sorted)
+    // an archive led by the dictionary skippable frame must be rejected
+    val dictFile = s"$tmp/dict.warc.zst"
+    val dictBytes = WarcBytes.encodeZstd(records.take(3),
+      dict = Some("common prefix dictionary bytes".getBytes("UTF-8")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dictFile), dictBytes)
+    val e = intercept[Exception] { WarcSplit.readSplit(spark, dictFile, 1000L) }
+    assert(e.getMessage.contains("not splittable"))
+  }
+
+  test("zstd: boundary scan ignores frame magic inside compressed data and skippable frames") {
+    // payload containing the zstd magic bytes: the validator must not
+    // treat an in-frame (compressed-literal) match as a member start
+    val magicPayload = Array.fill(64)(WarcBytes.ZstdMagic).flatten
+    val records = Synth.warcRecords(round = 7, n = 12).map { r =>
+      val b = r.bytes ++ magicPayload
+      r.copy(
+        fields = r.fields.map(f =>
+          if (f.name.equalsIgnoreCase("Content-Length")) f.copy(value = b.length.toString)
+          else f),
+        bytes = b)
+    }
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-split-zstd2").toString
+    val file = s"$tmp/m.warc.zst"
+    WarcSource.writeSingleFile(spark.createDataset(records).coalesce(1), file, "zstd")
+    val got = WarcSplit.readSplit(spark, file, splitBytes = 1500L).collect()
+    assert(got.map(key).sorted.toSeq == records.map(key).sorted)
+  }
+
   test("non-gzip input is rejected with a clear error") {
     val records = Synth.warcRecords(n = 3)
     val dir = java.nio.file.Files.createTempDirectory("graft-split-plain").toString
