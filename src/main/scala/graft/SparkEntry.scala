@@ -527,11 +527,15 @@ object SparkEntry {
     // pipeline end-to-end (content-length / 204-no-body / read-to-end with
     // Content-Encoding: zstd / chunked)
     "q35_http_parse" -> ((s, dir) => {
-      val v = pmod(col("doc_id"), lit(5))
+      val v = pmod(col("doc_id"), lit(6))
       val nBytes = length(col("text").cast("binary"))
       val zstdUdf = udf { (t: String) =>
         com.github.luben.zstd.Zstd.compress(
           t.getBytes(java.nio.charset.StandardCharsets.UTF_8), 3)
+      }
+      val brUdf = udf { (t: String) =>
+        graft.ops.Brotli.compressStored(
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       val payload = when(v === 0, concat(
         lit("HTTP/1.1 200 OK\r\nContent-Length: "),
@@ -544,9 +548,14 @@ object SparkEntry {
           hex(nBytes), lit("\r\n"), col("text"), lit("\r\n0\r\n\r\n")).cast("binary"))
         // short-body injection: declared Content-Length exceeds the
         // available bytes → exact-length framing flags truncated_body
-        .otherwise(concat(
+        .when(v === 4, concat(
           lit("HTTP/1.1 200 OK\r\nContent-Length: "),
           (nBytes + 10).cast("string"), lit("\r\n\r\n"), col("text")).cast("binary"))
+        // brotli content-coding (RFC 7932 decode path; reference
+        // compress.rs:84-98 includes `br` in its codec table)
+        .otherwise(concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n").cast("binary"),
+          brUdf(col("text"))))
       ft(s, dir, "documents")
         .select(col("doc_id"), ExtractOp.parseHttp(payload).as("p"))
         .select(col("doc_id"), col("p.ok").as("ok"),
@@ -1097,7 +1106,55 @@ object SparkEntry {
           Multimodal.mediaFeaturesUdf(col("bytes")).as("feat"))
         .select(col("image_id"), col("fmt"),
           (col("meta._1") === col("w") && col("meta._2") === col("h")).as("meta_ok"),
-          size(col("feat")).cast("long").as("n_feat")))
+          size(col("feat")).cast("long").as("n_feat"))),
+
+    // zstd twin of q61 (S5/S11 closure: the reference also writes
+    // per-record ZSTD frames, compress.rs:174-196): parallel frame
+    // encode → ordered concat → ONE .warc.zst → byte-range split decode.
+    // Same gates: payload length + block digest per record, distinct
+    // frame offsets, >1 scan task. Payloads are smaller than q61's so
+    // the combined splitter cost stays inside the bench watchdog.
+    "q67_warc_zstd_split" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warc-zsplit-q").toString
+      val recs = t(s, dir, "orders").select(col("o_orderkey"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long].map { k =>
+        val len = 600 + (k % 7L).toInt * 53
+        val bytes = new Array[Byte](len)
+        val rng = new Synth.Rng(k * 0x9e3779b9L + 11L)
+        var j = 0
+        while (j < len) { bytes(j) = rng.nextLong().toByte; j += 1 }
+        graft.core.WarcRecord(0L, "big.warc.zst", "WARC/1.1", Seq(
+          Field("WARC-Record-ID", s"<urn:zsplit:$k>"),
+          Field("WARC-Type", "resource"),
+          Field("WARC-Block-Digest", Digests.formatDigest("sha1",
+            Digests.compute("sha1", bytes).get)),
+          Field("Content-Length", len.toString)), bytes)
+      }
+      val file = s"$tmp/big.warc.zst"
+      graft.sources.WarcSource.writeSingleFile(recs, file, "zstd")
+      new java.io.File(file).deleteOnExit()
+      new java.io.File(tmp).deleteOnExit()
+      val ds = graft.sources.WarcSplit.readSplit(s, file, splitBytes = 1L << 20).toDF()
+      val recId = regexp_extract(
+        FieldOps.fieldGet(col("fields"), "WARC-Record-ID"), "<urn:zsplit:([0-9]+)>", 1)
+        .cast("long")
+      val digestOk = udf { (declared: String, bytes: Array[Byte]) =>
+        Digests.computeText("sha1", bytes).contains(declared)
+      }
+      val base = ds.select(recId.as("rec_id"),
+        (length(col("bytes")) === (lit(600) + pmod(recId, lit(7)) * 53)).as("len_ok"),
+        digestOk(FieldOps.fieldGet(col("fields"), "WARC-Block-Digest"),
+          col("bytes")).as("digest_ok"),
+        col("position"), spark_partition_id().as("pid"))
+        .persist()
+      val flags = base.agg(
+        (countDistinct(col("position")) === count(lit(1))).as("pos_ok"),
+        (max(col("pid")) > min(col("pid"))).as("split_ok")).head()
+      base.select(col("rec_id"), col("len_ok"), col("digest_ok"),
+        lit(flags.getBoolean(0)).as("pos_ok"),
+        lit(flags.getBoolean(1)).as("split_ok"))
+    })
   )
 
   // ======================================================================
@@ -1540,10 +1597,10 @@ object SparkEntry {
         |FROM orders""".stripMargin,
 
     "q35_http_parse" ->
-      """SELECT doc_id, (doc_id % 5 <> 4) AS ok,
-        | CAST(CASE doc_id % 5 WHEN 1 THEN 204 ELSE 200 END AS BIGINT) AS status,
-        | CASE doc_id % 5 WHEN 1 THEN md5('') WHEN 4 THEN md5('') ELSE md5(text) END AS body_md5,
-        | CASE doc_id % 5 WHEN 4 THEN 'truncated_body' ELSE '' END AS err
+      """SELECT doc_id, (doc_id % 6 <> 4) AS ok,
+        | CAST(CASE doc_id % 6 WHEN 1 THEN 204 ELSE 200 END AS BIGINT) AS status,
+        | CASE doc_id % 6 WHEN 1 THEN md5('') WHEN 4 THEN md5('') ELSE md5(text) END AS body_md5,
+        | CASE doc_id % 6 WHEN 4 THEN 'truncated_body' ELSE '' END AS err
         |FROM documents""".stripMargin,
 
     "q36_digest_parse" ->
@@ -1739,6 +1796,11 @@ object SparkEntry {
         |FROM range(0, 100) t(i)""".stripMargin,
 
     "q61_warc_split" ->
+      """SELECT o_orderkey AS rec_id, true AS len_ok, true AS digest_ok,
+        | true AS pos_ok, true AS split_ok
+        |FROM orders""".stripMargin,
+
+    "q67_warc_zstd_split" ->
       """SELECT o_orderkey AS rec_id, true AS len_ok, true AS digest_ok,
         | true AS pos_ok, true AS split_ok
         |FROM orders""".stripMargin,

@@ -163,10 +163,9 @@ object HttpOps {
   /** Content/Transfer-Encoding codecs. Coding names follow the reference's
     * Format::from_str table (compress.rs:84-98): gzip/x-gzip/gz,
     * zstd/zstandard/zst, deflate (zlib wrapper with raw-deflate fallback,
-    * lenient like browsers; reference uses flate2 zlib). brotli (`br`) is
-    * in the reference's table but has no decoder in this container — it
-    * surfaces as the UnsupportedContentEncoding error, the one documented
-    * codec gap.
+    * lenient like browsers; reference uses flate2 zlib), and brotli
+    * (`br`/`brotli`) via the from-spec RFC 7932 decoder in
+    * [[graft.ops.Brotli]] — full parity with the reference's codec table.
     */
   def decompress(name: String, data: Array[Byte]): Either[String, Array[Byte]] = name match {
     case "gzip" | "x-gzip" | "gz" =>
@@ -186,6 +185,9 @@ object HttpOps {
             new ByteArrayInputStream(data), new Inflater(true))))
           catch { case e: Exception => Left(s"deflate_error:${e.getClass.getSimpleName}") }
       }
+    case "br" | "brotli" =>
+      try Right(Brotli.decompress(data))
+      catch { case e: Brotli.BrotliException => Left(s"brotli_error:${e.getMessage}") }
     case other => Left(s"unsupported_encoding:$other")
   }
 

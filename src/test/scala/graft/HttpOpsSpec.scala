@@ -79,8 +79,35 @@ class HttpOpsSpec extends AnyFunSuite {
   }
 
   test("unsupported encoding → error (error.rs:388-390)") {
-    val p = resp("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\nContent-Length: 2\r\n\r\nxx")
-    assert(!p.ok && p.error == "unsupported_encoding:br")
+    val p = resp("HTTP/1.1 200 OK\r\nContent-Encoding: bzip2\r\nContent-Length: 2\r\n\r\nxx")
+    assert(!p.ok && p.error == "unsupported_encoding:bzip2")
+  }
+
+  test("brotli content-encoding: real-encoder stream and stored-mode stream") {
+    // a reference-encoder (q9) stream from the BrotliSpec vector set
+    val in = getClass.getResourceAsStream("/graft/brotli_vectors.txt")
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .find(_.startsWith("text-q9-w22 ")).get finally in.close()
+    val Array(_, p64, c64) = line.split(" ", 3)
+    val b64 = java.util.Base64.getDecoder
+    val plain = b64.decode(p64)
+    val comp = b64.decode(c64)
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n" +
+      s"Content-Length: ${comp.length}\r\n\r\n").getBytes(ISO_8859_1) ++ comp
+    val parsed = HttpOps.parseResponse(payload)
+    assert(parsed.ok && parsed.body.sameElements(plain))
+    // stored-mode (the q35 synthesis path) round-trips through the pipeline
+    val body = "stored-mode brotli body é漢".getBytes("UTF-8")
+    val stored = graft.ops.Brotli.compressStored(body)
+    val payload2 = ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n" +
+      s"Content-Length: ${stored.length}\r\n\r\n").getBytes(ISO_8859_1) ++ stored
+    val parsed2 = HttpOps.parseResponse(payload2)
+    assert(parsed2.ok && parsed2.body.sameElements(body))
+    // truncated stream → loud error, not silent wrong bytes
+    val bad = comp.take(comp.length / 2)
+    val p3 = HttpOps.parseResponse(("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n" +
+      s"Content-Length: ${bad.length}\r\n\r\n").getBytes(ISO_8859_1) ++ bad)
+    assert(!p3.ok && p3.error.startsWith("brotli_error:"))
   }
 
   test("lenient status line, bad inputs") {
