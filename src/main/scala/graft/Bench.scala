@@ -102,7 +102,8 @@ object Bench {
     * thread whenever they land. Never killed mid-round (see object doc).
     */
   private final class Child(val cores: Int, n: Int, nHosts: Int, parts: Int,
-                            jvmArgs: Seq[String]) {
+                            jvmArgs: Seq[String],
+                            env: Map[String, String] = Map.empty) {
     private val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
     @volatile var dead = false
     @volatile var ready = false
@@ -118,7 +119,9 @@ object Bench {
         "-cp", System.getProperty("java.class.path"),
         "graft.BenchRound", cores.toString, n.toString,
         nHosts.toString, parts.toString)
-      new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
+      pb.start()
     }
     private val writer = new java.io.PrintWriter(proc.getOutputStream, true)
     locally {
@@ -336,8 +339,38 @@ object Bench {
       out.result() ++ Seq(s"-Xmx$childMem", s"-Xms$childMem")
     }
 
-    val hiChild = new Child(scaleHigh, frontierN, nHosts, scaleParts, jvmArgs)
-    val loChild = new Child(scaleLow, frontierN, nHosts, scaleParts, jvmArgs)
+    // ---- frontier TABLE: rounds scan a pre-written parquet of
+    // (url, priority_band, host) — the Iceberg-frontier stand-in the
+    // north rule describes — instead of re-synthesizing URLs per round.
+    // Same-window interleaved A/B (tools/src_ab.py, 3 rounds/config):
+    // synth c2 40.8 / c8 13.0 (eff 0.786) vs table c2 26.0 / c8 8.0
+    // (eff 0.811, 997k URLs/s at 8 cores) — the generator is pure
+    // embarrassingly-parallel string building that both slowed every
+    // round ~40% and (scaling superlinearly) distorted the ratio. The
+    // parent writes the table ONCE (fixed 64-way layout) before
+    // spawning children so every cores level scans identical files; if
+    // the write fails, children fall back to per-round synthesis.
+    val frontierTablePath = s"/tmp/graft-bench-frontier-$frontierN"
+    val earlySpark: SparkSession = session(cpus, 2 * cpus)
+    val frontierTableOk =
+      try {
+        graft.synth.Synth.frontierSeed(earlySpark, frontierN, nHosts).toDF()
+          .select(org.apache.spark.sql.functions.col("url"),
+            org.apache.spark.sql.functions.col("priority_band"))
+          .withColumn("host", graft.frontier.Canonical.hostOf(
+            org.apache.spark.sql.functions.col("url")))
+          .repartition(64)
+          .write.mode("overwrite").parquet(frontierTablePath)
+        true
+      } catch { case e: Exception =>
+        setErr("frontier_table_write", e.getMessage.take(300)); false
+      }
+    val childEnv =
+      if (frontierTableOk) Map("SPARK_GRAFT_FRONTIER_PATH" -> frontierTablePath)
+      else Map.empty[String, String]
+
+    val hiChild = new Child(scaleHigh, frontierN, nHosts, scaleParts, jvmArgs, childEnv)
+    val loChild = new Child(scaleLow, frontierN, nHosts, scaleParts, jvmArgs, childEnv)
     val children = Seq(hiChild, loChild)
 
     def poll(): Unit =

@@ -27,7 +27,12 @@ object BenchRound {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // AQE off for the frontier round: skew is handled explicitly (hot-host
+      // split), partitioning is fixed at 64, and AQE's per-stage
+      // materialization adds pure overhead — same-window interleaved A/B
+      // (tools/aqe_ab.py): c2 42.2 vs 45.2 s, c8 12.6 vs 13.5 s, ratio
+      // 0.842 vs 0.835. The query suite keeps AQE on (skew joins benefit).
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -40,9 +45,26 @@ object BenchRound {
     val robotsBc = graft.frontier.Politeness.robotsBroadcast(
       Synth.robots(spark, nHosts).toDF())
 
+    // Frontier source: the real crawl round scans an Iceberg-backed
+    // frontier table (north rule) — SPARK_GRAFT_FRONTIER_PATH points at
+    // a pre-written parquet of (url, priority_band) and rounds scan it,
+    // like production. Unset → synthesize per round (the pre-round-4
+    // harness shape; kept for A/B). The table is written ONCE by the
+    // parent with a fixed 64-way layout so every cores level reads the
+    // same files.
+    val frontierPath = sys.env.get("SPARK_GRAFT_FRONTIER_PATH")
     def round(rows: Int): Long = {
-      val frontier = Synth.frontierSeed(spark, rows, nHosts).toDF()
-        .select(col("url"), col("priority_band"))
+      val frontier = frontierPath match {
+        case Some(p) if rows == n => spark.read.parquet(p)
+        case Some(_) =>
+          // warm-up in table mode: same (url, band, host) schema as the
+          // table so the agg-dedupe path and pruned host scan are JIT-hot
+          Synth.frontierSeed(spark, rows, nHosts).toDF()
+            .select(col("url"), col("priority_band"))
+            .withColumn("host", graft.frontier.Canonical.hostOf(col("url")))
+        case None => Synth.frontierSeed(spark, rows, nHosts).toDF()
+          .select(col("url"), col("priority_band"))
+      }
       val seen = Scheduler.loadSeen(spark, "/tmp/graft-bench-none")
       Scheduler.runRoundCached(frontier, seen, robotsBc).count()
     }

@@ -809,13 +809,14 @@ object SparkEntry {
         VerifyOp.payloadDigestOkUdf(declared, bytes, isHttp).as("payload_ok"))
     }),
 
-    // BLAKE3 through the FULL verify path (parse → compute → compare):
-    // declared digests are from-spec BLAKE3 ([[graft.core.Blake3]],
-    // vector-pinned in Blake3Spec); injections drive every branch —
-    // %9 corrupted payload (mismatch), %11 unparsable text
-    // (UnknownDigest), %13 declared xxh3 (parses but is not computable
-    // here → false). The oracle re-derives both columns from the id
-    // pattern, so parseDigest's algo routing is on the hook too.
+    // BLAKE3 and XXH3 through the FULL verify path (parse → compute →
+    // compare): declared digests are from-spec BLAKE3 ([[graft.core
+    // .Blake3]], vector-pinned in Blake3Spec) or, on the %13 rows,
+    // from-spec XXH3-64 ([[graft.core.Xxh3]], vector-pinned in
+    // Xxh3Spec); injections drive every branch — %9 corrupted payload
+    // (mismatch), %11 unparsable text (UnknownDigest). The oracle
+    // re-derives both columns from the id pattern, so parseDigest's
+    // algo routing is on the hook too.
     "q65_blake3_verify" -> ((s, dir) => {
       val d = ft(s, dir, "documents")
       val declareUdf = udf { (t: String, id: Long) =>
@@ -823,10 +824,7 @@ object SparkEntry {
         else {
           val base = if (id % 9 == 0) t + "X" else t
           val algo = if (id % 13 == 0) "xxh3" else "blake3"
-          if (algo == "xxh3") // parseable xxh3 text (8-byte hex), uncomputable here
-            "xxh3:" + Digests.hexEncode(
-              Digests.compute("blake3", base.getBytes("UTF-8")).get.take(8))
-          else Digests.computeText("blake3", base.getBytes("UTF-8")).get
+          Digests.computeText(algo, base.getBytes("UTF-8")).get
         }
       }
       val parsedAlgoUdf = udf { (declared: String) =>
@@ -1741,7 +1739,7 @@ object SparkEntry {
       """SELECT doc_id,
         | CASE WHEN doc_id % 11 = 0 THEN NULL
         |      WHEN doc_id % 13 = 0 THEN 'xxh3' ELSE 'blake3' END AS algo,
-        | (doc_id % 9 <> 0 AND doc_id % 11 <> 0 AND doc_id % 13 <> 0) AS payload_ok
+        | (doc_id % 9 <> 0 AND doc_id % 11 <> 0) AS payload_ok
         |FROM documents""".stripMargin,
 
     // the otherbot group must NOT be selected; the * group's delay is

@@ -11,16 +11,12 @@ import java.util.zip.{CRC32, CRC32C}
   *
   * Computation covers the JVM-native algorithms (crc32, crc32c, md5,
   * sha1, sha256, sha512, sha3-256, sha3-512) plus pure-Scala RFC 7693
-  * BLAKE2b-512/BLAKE2s-256 ([[Blake2]]) and from-spec BLAKE3
-  * ([[Blake3]], validated against the two published vectors available
-  * from memory of the public corpus — see Blake3Spec) — 11 of the
-  * reference's 12. xxh3 parses and formats but reports
-  * `unsupported_digest_computation` when verified: its 192-byte default
-  * secret constant is an arbitrary published array with no in-container
-  * source (zero egress), so bit-parity is unachievable here and an
-  * unverifiable implementation would be worse than an honest gap.
-  * xxhash64 is exposed as the engine's conflict-id / seen-key hash
-  * (Spark built-in, codegen'd).
+  * BLAKE2b-512/BLAKE2s-256 ([[Blake2]]), from-spec BLAKE3 ([[Blake3]]),
+  * and from-spec XXH3-64 ([[Xxh3]], validated against eleven published
+  * sanity vectors covering every length-class code path — see
+  * Xxh3Spec) — all 12 of the reference's algorithms. xxhash64 remains
+  * the engine's seen-key hash (Spark built-in, codegen'd; the north
+  * rule keys the URL-seen set on xxHash64).
   */
 object Digests {
 
@@ -32,7 +28,7 @@ object Digests {
 
   val Computable: Set[String] = Set(
     "crc32", "crc32c", "md5", "sha1", "sha256", "sha512", "sha3-256", "sha3-512",
-    "blake2s", "blake2b", "blake3")
+    "blake2s", "blake2b", "blake3", "xxh3")
 
   /** Compatibility labels (digest.rs:149-157). */
   def normalizeLabel(label: String): String = label.toLowerCase match {
@@ -149,6 +145,7 @@ object Digests {
     case "blake2b"  => Some(Blake2.blake2b512(data))
     case "blake2s"  => Some(Blake2.blake2s256(data))
     case "blake3"   => Some(Blake3.hash(data))
+    case "xxh3"     => Some(Xxh3.digest(data))
     case _          => None
   }
 

@@ -61,5 +61,5 @@ final case class WarcMessage(
     fields: Seq[Field],
     chunk: Array[Byte],
     crc32: Long,
-    xxh64: Long
+    xxh3: Long
 )

@@ -47,13 +47,43 @@ case class Crc32c(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst `xxh3_64(binary) -> long` (reference digest #3,
+  * /root/reference/src/digest.rs:195 — the XXH3 checksum the reference
+  * emits in export BlockEnd, src/app/model.rs:37-41).
+  *
+  * Spark's built-in `xxhash64` is XXH64, a different function; this
+  * generates a static call to the from-spec [[graft.core.Xxh3]]
+  * (vector-pinned in Xxh3Spec) inside the fused loop, keeping the
+  * export hot path in whole-stage codegen.
+  */
+case class Xxh3_64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"xxh3_64 requires binary input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "xxh3_64"
+
+  protected override def nullSafeEval(input: Any): Any =
+    graft.core.Xxh3.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, value =>
+      s"${ev.value} = graft.core.Xxh3.hash($value, 0, $value.length);")
+
+  override protected def withNewChildInternal(newChild: Expression): Xxh3_64 =
+    copy(child = newChild)
+}
+
 /** Session-extension injector: `spark.sql.extensions=graft.functions.GraftExtensions`
-  * (or [[GraftFunctions.register]] at runtime) makes `crc32c` available to
-  * SQL and `call_function`.
+  * (or [[GraftFunctions.register]] at runtime) makes `crc32c` / `xxh3_64`
+  * available to SQL and `call_function`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.crc32cDescriptor)
+    ext.injectFunction(GraftFunctions.xxh3Descriptor)
   }
 }
 
@@ -66,11 +96,24 @@ object GraftFunctions {
     (exprs: Seq[Expression]) => Crc32c(exprs.head)
   )
 
+  private[functions] val xxh3Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("xxh3_64"),
+    new ExpressionInfo(classOf[Xxh3_64].getName, "xxh3_64"),
+    (exprs: Seq[Expression]) => Xxh3_64(exprs.head)
+  )
+
   /** Runtime registration for sessions built without the extension. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "crc32c", exprs => Crc32c(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "xxh3_64", exprs => Xxh3_64(exprs.head), "built-in")
+  }
 
   /** Column API (requires [[register]] or [[GraftExtensions]] first). */
   def crc32c(c: Column): Column = call_function("crc32c", c)
+
+  /** Column API for [[Xxh3_64]] (same registration requirement). */
+  def xxh3(c: Column): Column = call_function("xxh3_64", c)
 }

@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   *
   * Export explodes each record into `Header` + `BlockChunk*` + `BlockEnd`
   * message rows (chunked at [[ChunkSize]]); `BlockEnd` carries the block
-  * checksums (reference emits crc32/crc32c/xxh3, src/app/model.rs:37-41 —
-  * here crc32 + xxhash64 built-ins; see SURVEY.md §7.3 on xxh3 parity).
+  * checksums — the reference's exact crc32/crc32c/xxh3 triple
+  * (src/app/model.rs:37-41; xxh3 via [[graft.functions.Xxh3_64]]).
   *
   * Import reassembles: chunks grouped per record, ordered by chunk index,
   * concatenated, and the recomputed checksum must equal the declared one
@@ -38,16 +38,17 @@ object ExportImportOp {
       .select(col("id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
   }
 
-  /** BlockEnd rows: per-id checksums of the whole payload — crc32 +
-    * crc32c (native graft expression) + xxh64, like the reference's
-    * BlockEnd crc32/crc32c/xxh3 triple (src/app/model.rs:37-41).
+  /** BlockEnd rows: per-id checksums of the whole payload — the
+    * reference's exact crc32/crc32c/xxh3 triple (src/app/model.rs:37-41),
+    * crc32c and xxh3 as native graft expressions so the export stays in
+    * whole-stage codegen.
     */
   def exportBlockEnd(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"),
       crc32(col(payloadCol).cast("binary")).as("crc32"),
       graft.functions.GraftFunctions.crc32c(col(payloadCol).cast("binary")).as("crc32c"),
-      xxhash64(col(payloadCol)).as("xxh64"),
+      graft.functions.GraftFunctions.xxh3(col(payloadCol).cast("binary")).as("xxh3"),
       md5(col(payloadCol).cast("binary")).as("payload_md5"))
   }
 

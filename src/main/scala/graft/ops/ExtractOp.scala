@@ -75,11 +75,12 @@ object ExtractOp {
   }
 
   /** Extract eligible records: adds decoder_kind, extracted bytes,
-    * path_components, http status/ok, and the xxh conflict id
-    * (app/extract.rs:104-167 uses xxh3; Spark's xxhash64 stands in —
-    * same role, different hash family, SURVEY.md §7.3).
+    * path_components, http status/ok, and the xxh3 conflict id
+    * (app/extract.rs:104-167 — bit-matching the reference's conflict
+    * naming via the from-spec [[graft.functions.Xxh3_64]]).
     */
   def extract(records: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(records.sparkSession)
     val routed = records.withColumn("decoder_kind", decoderKind(col("fields")))
       .where(col("decoder_kind") =!= "none")
     routed
@@ -93,7 +94,8 @@ object ExtractOp {
         pathComponentsMarkedUdf(fieldGet(col("fields"), "WARC-Target-URI"),
           lower(fieldGet(col("fields"), "WARC-Type")) === "conversion"))
       .withColumn("is_truncated", fieldContains(col("fields"), "WARC-Truncated"))
-      .withColumn("conflict_id", xxhash64(col("extracted")))
+      .withColumn("conflict_id",
+        graft.functions.GraftFunctions.xxh3(col("extracted").cast("binary")))
       .drop("http")
   }
 

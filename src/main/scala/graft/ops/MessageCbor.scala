@@ -32,7 +32,7 @@ object MessageCbor {
   case class DecodedMsg(variant: String, file: String, position: Option[Long],
                         version: String, fields: Seq[Seq[String]],
                         data: Array[Byte], crc32: Option[Long],
-                        crc32c: Option[Long], xxh64: Option[Long],
+                        crc32c: Option[Long], xxh3: Option[Long],
                         has_content: Option[Boolean],
                         file_path_components: Seq[String],
                         is_truncated: Option[Boolean])
@@ -55,7 +55,7 @@ object MessageCbor {
 
   private val encBlockEnd = udf((c32: Long, c32c: Long, x64: Long) =>
     tagged("BlockEnd", Vector(CText("crc32") -> CInt(c32),
-      CText("crc32c") -> CInt(c32c), CText("xxh64") -> CInt(x64))))
+      CText("crc32c") -> CInt(c32c), CText("xxh3") -> CInt(x64))))
 
   /** The stream-tail EndOfFile item (empty map body). */
   val endOfFile: Array[Byte] = tagged("EndOfFile", Vector.empty)
@@ -93,7 +93,7 @@ object MessageCbor {
       encBlockEnd(
         crc32(col("payload").cast("binary")),
         graft.functions.GraftFunctions.crc32c(col("payload").cast("binary")),
-        xxhash64(col("payload"))).as("msg"))
+        graft.functions.GraftFunctions.xxh3(col("payload").cast("binary"))).as("msg"))
     meta.unionByName(header).unionByName(chunks).unionByName(blockEnd)
   }
 
@@ -134,7 +134,7 @@ object MessageCbor {
           case _ => null
         },
         data = mapGet(body, "data").flatMap(asBytes).orNull,
-        crc32 = long("crc32"), crc32c = long("crc32c"), xxh64 = long("xxh64"),
+        crc32 = long("crc32"), crc32c = long("crc32c"), xxh3 = long("xxh3"),
         has_content = mapGet(body, "has_content").collect { case CBool(b) => b },
         file_path_components = mapGet(body, "file_path_components") match {
           case Some(CArr(cs)) => cs.flatMap(asText)
@@ -152,7 +152,7 @@ object MessageCbor {
 
   /** Reassemble decoded runs and validate the handshake — the CBOR twin
     * of [[MessageJson.importValidate]]: payload from byte-string chunks
-    * in order, recomputed crc32/crc32c/xxh64 vs BlockEnd, declared
+    * in order, recomputed crc32/crc32c/xxh3 vs BlockEnd, declared
     * Content-Length vs actual, Metadata/Header lead positions.
     * Returns (id, n_messages, payload, roundtrip_ok).
     */
@@ -169,7 +169,7 @@ object MessageCbor {
           f => try_element_at(f, lit(1)) === "Content-Length"), lit(1))))
         .as("cl_field"),
       min(when(col("m.variant") === "BlockEnd",
-        struct(col("m.crc32"), col("m.crc32c"), col("m.xxh64")))).as("be"),
+        struct(col("m.crc32"), col("m.crc32c"), col("m.xxh3")))).as("be"),
       concatBinaries(transform(array_sort(collect_list(chunkRow)),
         s => s.getField("data"))).as("payload_bin"))
     agg.select(col("id"), col("n_messages"),
@@ -179,7 +179,7 @@ object MessageCbor {
             length(col("payload_bin")).cast("string") &&
           col("be.crc32") === crc32(col("payload_bin")) &&
           col("be.crc32c") === graft.functions.GraftFunctions.crc32c(col("payload_bin")) &&
-          col("be.xxh64") === xxhash64(col("payload_bin").cast("string")))
+          col("be.xxh3") === graft.functions.GraftFunctions.xxh3(col("payload_bin")))
           .as("roundtrip_ok"))
   }
 }

@@ -12,11 +12,9 @@ import org.apache.spark.sql.types._
   * Faithful shapes: messages are externally tagged ({"Header": {...}});
   * header fields serialize as [[name, value], ...] pairs (serde
   * Vec<(String,String)>); chunk data is base64 (model.rs:31-34); EndOfFile
-  * is the empty object. BlockEnd carries crc32 + crc32c + xxh64 — the
-  * reference's third checksum is xxh3 (digest.rs:195); Spark's native
-  * hash family is XXH64, so the field is NAMED xxh64 here rather than
-  * shipping non-XXH3 values under the reference's name (SURVEY §7.3, the
-  * one checksum-family divergence).
+  * is the empty object. BlockEnd carries the reference's exact crc32 +
+  * crc32c + xxh3 checksum triple (digest.rs:195), xxh3 via the from-spec
+  * native expression [[graft.functions.Xxh3_64]].
   *
   * Scale: export is a narrow generate (no shuffle); framing/unframing is
   * one hash aggregation per record id; parsing is `from_json` — all
@@ -37,7 +35,7 @@ object MessageJson {
     StructField("BlockChunk", StructType(Seq(StructField("data", StringType)))),
     StructField("BlockEnd", StructType(Seq(
       StructField("crc32", LongType), StructField("crc32c", LongType),
-      StructField("xxh64", LongType)))),
+      StructField("xxh3", LongType)))),
     StructField("ExtractMetadata", StructType(Seq(
       StructField("has_content", BooleanType),
       StructField("file_path_components", ArrayType(StringType)),
@@ -45,7 +43,7 @@ object MessageJson {
     StructField("ExtractChunk", StructType(Seq(StructField("data", StringType)))),
     StructField("ExtractEnd", StructType(Seq(
       StructField("crc32", LongType), StructField("crc32c", LongType),
-      StructField("xxh64", LongType)))),
+      StructField("xxh3", LongType)))),
     StructField("EndOfFile", MapType(StringType, StringType))))
 
   /** Export (id, payload) rows into each record's message run —
@@ -80,7 +78,8 @@ object MessageJson {
       to_json(struct(struct(
         crc32(col("payload").cast("binary")).as("crc32"),
         graft.functions.GraftFunctions.crc32c(col("payload").cast("binary")).as("crc32c"),
-        xxhash64(col("payload")).as("xxh64")).as("BlockEnd"))).as("msg"))
+        graft.functions.GraftFunctions.xxh3(col("payload").cast("binary"))
+          .as("xxh3")).as("BlockEnd"))).as("msg"))
     meta.unionByName(header).unionByName(chunks).unionByName(blockEnd)
   }
 
@@ -113,7 +112,8 @@ object MessageJson {
       to_json(struct(struct(
         crc32(col("payload").cast("binary")).as("crc32"),
         graft.functions.GraftFunctions.crc32c(col("payload").cast("binary")).as("crc32c"),
-        xxhash64(col("payload")).as("xxh64")).as("ExtractEnd"))).as("msg"))
+        graft.functions.GraftFunctions.xxh3(col("payload").cast("binary"))
+          .as("xxh3")).as("ExtractEnd"))).as("msg"))
     meta.unionByName(chunks).unionByName(end)
   }
 
@@ -137,7 +137,7 @@ object MessageJson {
 
   /** Reassemble parsed message runs back into records and validate the
     * handshake (import.rs:122-222 as columns): payload from base64 chunks
-    * in order, recomputed crc32/crc32c/xxh64 vs the declared BlockEnd,
+    * in order, recomputed crc32/crc32c/xxh3 vs the declared BlockEnd,
     * declared Content-Length vs actual, Metadata/Header lead positions.
     * Returns (id, n_messages, payload, roundtrip_ok).
     */
@@ -161,6 +161,7 @@ object MessageJson {
         try_element_at(col("cl_field"), lit(2)) === length(col("payload")).cast("string") &&
         col("be.crc32") === crc32(col("payload").cast("binary")) &&
         col("be.crc32c") === graft.functions.GraftFunctions.crc32c(col("payload").cast("binary")) &&
-        col("be.xxh64") === xxhash64(col("payload"))).as("roundtrip_ok"))
+        col("be.xxh3") === graft.functions.GraftFunctions.xxh3(
+          col("payload").cast("binary"))).as("roundtrip_ok"))
   }
 }

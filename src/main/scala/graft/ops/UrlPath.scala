@@ -165,9 +165,9 @@ object UrlPath {
   def markConversion(component: String): String =
     s"$component${ConflictMarker}conversion"
 
-  /** Name-taken marker: append the 16-hex xxh conflict id
-    * (app/extract.rs:199-208; the reference hashes with xxh3, this engine
-    * keys conflicts on xxh64 — same role, SURVEY §7.3).
+  /** Name-taken marker: append the 16-hex xxh3 conflict id
+    * (app/extract.rs:199-208; hashed with from-spec XXH3-64, matching
+    * the reference's conflict names bit-for-bit).
     */
   def markConflict(component: String, conflictId: Long): String =
     f"$component$ConflictMarker$conflictId%016x"

@@ -1,46 +1,68 @@
 package graft.tools
 
-import graft.frontier.{Politeness, Scheduler}
+import graft.frontier.{Canonical, Politeness, Scheduler}
 import graft.synth.Synth
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Stage-level scaling diagnosis: time each cumulative prefix of the
-  * frontier round in one JVM. Args: cores [n] [parts] [trials].
+/** Stage-level scaling diagnosis over the BENCH path (probe-free fused
+  * cold round, crawl-lifetime robots broadcast — what BenchRound runs):
+  * times each cumulative prefix in one JVM. Args: cores [n] [parts]
+  * [trials]. Env: SPARK_GRAFT_AQE (default false, matching BenchRound),
+  * SPARK_GRAFT_SRC=synth|parquet (frontier from the generator each
+  * round, or scanned from a once-written parquet — the shape a real
+  * round reading an Iceberg frontier table has).
   * Prints STAGE <name> <sec> lines (min over trials, after warm-up).
   */
 object StageProbe {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
-    val n = if (args.length > 1) args(1).toInt else 16000000
+    val n = if (args.length > 1) args(1).toInt else 8000000
     val parts = if (args.length > 2) args(2).toInt else 64
     val trials = if (args.length > 3) args(3).toInt else 2
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def frontier = Synth.frontierSeed(spark, n, 10000).toDF()
-      .select(col("url"), col("priority_band"))
-    val robots = Synth.robots(spark, 10000).toDF()
+    val robotsBc = Politeness.robotsBroadcast(Synth.robots(spark, 10000).toDF())
     val seen = Scheduler.loadSeen(spark, "/tmp/graft-stage-none")
+
+    val parquetSrc = sys.env.get("SPARK_GRAFT_SRC").contains("parquet")
+    val srcPath = s"/tmp/graft-stage-frontier-$n"
+    if (parquetSrc) {
+      Synth.frontierSeed(spark, n, 10000).toDF()
+        .select(col("url"), col("priority_band"))
+        .write.mode("overwrite").parquet(srcPath)
+    }
+    def frontier =
+      if (parquetSrc) spark.read.parquet(srcPath)
+      else Synth.frontierSeed(spark, n, 10000).toDF()
+        .select(col("url"), col("priority_band"))
+
+    // the fused cold leg, piecewise (mirrors Scheduler.runRoundImpl's
+    // probe-free branch minus the tiny hot leg)
+    def withHost = frontier.withColumn("host", Canonical.hostOf(col("url")))
+    def exchanged = withHost.repartition(col("host"))
+      .withColumn("canonical_url", Canonical.canonicalUrl(col("url")))
+    def deduped = Scheduler.dedupeWithinHost(exchanged)
+    def robotted = Politeness.applyRobotsMap(deduped, robotsBc)
+    def scheduled = Politeness.schedule(robotted)
 
     val stages: Seq[(String, () => Long)] = Seq(
       "synth" -> (() => frontier.count()),
-      "canon" -> (() => Scheduler.canonicalize(frontier).count()),
-      "dedupe" -> (() => Scheduler.dedupeWithinBatch(Scheduler.canonicalize(frontier)).count()),
-      "robots" -> (() => Politeness.applyRobots(
-        Scheduler.dedupeWithinBatch(Scheduler.canonicalize(frontier)), robots).count()),
-      "window" -> (() => Politeness.schedule(Politeness.applyRobots(
-        Scheduler.dedupeWithinBatch(Scheduler.canonicalize(frontier)), robots)).count()),
-      "full" -> (() => Scheduler.runRound(frontier, seen, robots).count()))
+      "host+exchange" -> (() => withHost.repartition(col("host")).count()),
+      "canon(post-ex)" -> (() => exchanged.count()),
+      "win-dedupe" -> (() => deduped.count()),
+      "robots" -> (() => robotted.count()),
+      "window" -> (() => scheduled.count()),
+      "full" -> (() => Scheduler.runRoundCached(frontier, seen, robotsBc).count()))
 
-    // warm-up: full round at n/8
-    Scheduler.runRound(Synth.frontierSeed(spark, n / 8, 10000).toDF()
-      .select(col("url"), col("priority_band")), seen, robots).count()
+    Scheduler.runRoundCached(Synth.frontierSeed(spark, n / 8, 10000).toDF()
+      .select(col("url"), col("priority_band")), seen, robotsBc).count()
 
     stages.foreach { case (name, f) =>
       val secs = (1 to trials).map { _ =>

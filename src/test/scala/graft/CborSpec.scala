@@ -167,7 +167,7 @@ class CborSpec extends AnyFunSuite {
       Cbor.encode(CMap(Vector(CText("ExtractChunk") -> CMap(Vector(
         CText("data") -> CBytes("chunk!".getBytes("UTF-8"))))))),
       Cbor.encode(CMap(Vector(CText("ExtractEnd") -> CMap(Vector(
-        CText("crc32") -> CInt(7), CText("crc32c") -> CInt(8), CText("xxh64") -> CInt(9)))))),
+        CText("crc32") -> CInt(7), CText("crc32c") -> CInt(8), CText("xxh3") -> CInt(9)))))),
       Cbor.encode(CMap(Vector(CText("EndOfFile") -> CMap(Vector()))))).reduce(_ ++ _)
     val parsed = MessageCbor.fromCborSeq(Seq((1L, seq)).toDF("id", "seq"))
       .selectExpr("msg_seq", "m.variant", "m.has_content", "m.file_path_components",

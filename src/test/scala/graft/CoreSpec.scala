@@ -157,7 +157,7 @@ class DigestsSpec extends AnyFunSuite {
       "sha256:e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
     assert(compute("sha3-256", "x".getBytes).isDefined)
     assert(compute("blake3", "x".getBytes).isDefined) // vectors in Blake3Spec
-    assert(compute("xxh3", "x".getBytes).isEmpty) // documented: parse-only
+    assert(hexEncode(compute("xxh3", "".getBytes).get) == "2d06800538d394c2") // vectors in Xxh3Spec
   }
 }
 

@@ -82,14 +82,14 @@ class MessageJsonSpec extends AnyFunSuite {
       (9L, 0L, MessageJson.endOfFile),
       (9L, 1L, """{"ExtractMetadata":{"has_content":true,"file_path_components":["a","b"],"is_truncated":false}}"""),
       (9L, 2L, """{"ExtractChunk":{"data":"AA=="}}"""),
-      (9L, 3L, """{"ExtractEnd":{"crc32":1,"crc32c":2,"xxh64":3}}"""))
+      (9L, 3L, """{"ExtractEnd":{"crc32":1,"crc32c":2,"xxh3":3}}"""))
       .toDF("id", "msg_seq", "msg")
     val parsed = MessageJson.fromJsonSeq(MessageJson.toJsonSeq(extra))
       .select(col("msg_seq"),
         col("m.EndOfFile").isNotNull.as("eof"),
         col("m.ExtractMetadata.file_path_components").as("pc"),
         col("m.ExtractChunk.data").as("ec"),
-        col("m.ExtractEnd.xxh64").as("ee"))
+        col("m.ExtractEnd.xxh3").as("ee"))
       .orderBy("msg_seq").collect()
     assert(parsed(0).getBoolean(1)) // {"EndOfFile":{}} → present
     assert(parsed(1).getSeq[String](2) == Seq("a", "b"))
