@@ -339,34 +339,62 @@ object Bench {
       out.result() ++ Seq(s"-Xmx$childMem", s"-Xms$childMem")
     }
 
-    // ---- frontier TABLE: rounds scan a pre-written parquet of
+    // ---- frontier TABLE: rounds scan a pre-written table of
     // (url, priority_band, host) — the Iceberg-frontier stand-in the
     // north rule describes — instead of re-synthesizing URLs per round.
     // Same-window interleaved A/B (tools/src_ab.py, 3 rounds/config):
     // synth c2 40.8 / c8 13.0 (eff 0.786) vs table c2 26.0 / c8 8.0
     // (eff 0.811, 997k URLs/s at 8 cores) — the generator is pure
     // embarrassingly-parallel string building that both slowed every
-    // round ~40% and (scaling superlinearly) distorted the ratio. The
-    // parent writes the table ONCE (fixed 64-way layout) before
-    // spawning children so every cores level scans identical files; if
-    // the write fails, children fall back to per-round synthesis.
+    // round ~40% and (scaling superlinearly) distorted the ratio.
+    //
+    // The table is BUCKETED (CLUSTERED BY host INTO 64 BUCKETS — the
+    // parquet stand-in for an Iceberg bucket(64, host) partition
+    // transform): the scan then reports hashpartitioning(host) and the
+    // round runs with ZERO full-frontier exchanges (see
+    // Scheduler.runRound's frontierHostClustered). Same-window
+    // interleaved A/B (tools/bucket_ab.py, 4 rounds/config, slow-ambient
+    // window): plain table c2 21.1 / c8 8.3 (eff 0.633) vs bucketed
+    // c2 15.6 / c8 4.8 (eff 0.811, 1.66M URLs/s at 8 cores) — both
+    // ~1.7× faster at 8 cores AND a higher ratio in the same slow
+    // window, because the exchange (whose own 2→8 stage scaling
+    // measured ~0.5) is gone. The parent writes the table ONCE before
+    // spawning children so every cores level scans identical files;
+    // fallback ladder: bucketed write fails → plain 64-way parquet →
+    // per-round synthesis.
     val frontierTablePath = s"/tmp/graft-bench-frontier-$frontierN"
     val earlySpark: SparkSession = session(cpus, 2 * cpus)
-    val frontierTableOk =
+    def frontierSeedDf = {
+      import org.apache.spark.sql.functions.col
+      graft.synth.Synth.frontierSeed(earlySpark, frontierN, nHosts).toDF()
+        .select(col("url"), col("priority_band"))
+        .withColumn("host", graft.frontier.Canonical.hostOf(col("url")))
+    }
+    val bucketedOk =
       try {
-        graft.synth.Synth.frontierSeed(earlySpark, frontierN, nHosts).toDF()
-          .select(org.apache.spark.sql.functions.col("url"),
-            org.apache.spark.sql.functions.col("priority_band"))
-          .withColumn("host", graft.frontier.Canonical.hostOf(
-            org.apache.spark.sql.functions.col("url")))
-          .repartition(64)
+        import org.apache.spark.sql.functions.col
+        earlySpark.sql("DROP TABLE IF EXISTS graft_bench_frontier_src")
+        frontierSeedDf
+          .repartition(scaleParts, col("host"))
+          .write.mode("overwrite").bucketBy(scaleParts, "host")
+          .option("path", frontierTablePath + "-bucketed")
+          .saveAsTable("graft_bench_frontier_src")
+        true
+      } catch { case e: Exception =>
+        setErr("frontier_bucketed_write", e.getMessage.take(300)); false
+      }
+    val frontierTableOk = bucketedOk ||
+      (try {
+        frontierSeedDf.repartition(64)
           .write.mode("overwrite").parquet(frontierTablePath)
         true
       } catch { case e: Exception =>
         setErr("frontier_table_write", e.getMessage.take(300)); false
-      }
+      })
     val childEnv =
-      if (frontierTableOk) Map("SPARK_GRAFT_FRONTIER_PATH" -> frontierTablePath)
+      if (bucketedOk)
+        Map("SPARK_GRAFT_FRONTIER_BUCKETED" -> (frontierTablePath + "-bucketed"))
+      else if (frontierTableOk) Map("SPARK_GRAFT_FRONTIER_PATH" -> frontierTablePath)
       else Map.empty[String, String]
 
     val hiChild = new Child(scaleHigh, frontierN, nHosts, scaleParts, jvmArgs, childEnv)

@@ -981,7 +981,13 @@ object SparkEntry {
     // distinct member offsets, and >1 scan task (split_ok)
     "q61_warc_split" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-warc-split-q").toString
+      // fixed per-sf path, previous fixture dropped first: repeated
+      // invocations (bench retry/re-time, Verify) must not accrete
+      // ~300 MB tempdirs in /tmp
+      val tmp = s"/tmp/graft-warc-split-gate/${new java.io.File(dir).getName}"
+      org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      new java.io.File(tmp).mkdirs()
       val recs = t(s, dir, "orders").select(col("o_orderkey"))
         .repartition(s.sparkContext.defaultParallelism).as[Long].map { k =>
         val len = 1600 + (k % 7L).toInt * 137
@@ -1114,7 +1120,11 @@ object SparkEntry {
     // the combined splitter cost stays inside the bench watchdog.
     "q67_warc_zstd_split" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-warc-zsplit-q").toString
+      // fixed per-sf path + pre-delete, same rationale as q61
+      val tmp = s"/tmp/graft-warc-zsplit-gate/${new java.io.File(dir).getName}"
+      org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      new java.io.File(tmp).mkdirs()
       val recs = t(s, dir, "orders").select(col("o_orderkey"))
         .repartition(s.sparkContext.defaultParallelism).as[Long].map { k =>
         val len = 600 + (k % 7L).toInt * 53

@@ -214,14 +214,134 @@ object Canonical {
     url.substring(hpStart, hostEnd).toLowerCase
   }
 
-  private val canonicalUdf = udf((u: String) => canonicalize(u))
   private val hostUdf = udf((u: String) => hostOfString(u))
+
+  /** Zero-copy canonicalizer over Spark's native string representation
+    * (the [[graft.functions.CanonicalUrlExpr]] codegen target): returns
+    * the INPUT `UTF8String` object unchanged when the byte scan proves
+    * it already canonical — no UTF8→String→UTF8 round trip, no
+    * allocation — else materializes through the String slow path. Any
+    * non-ASCII byte routes to the slow path, so the byte-wise ordering
+    * checks can never diverge from the String contract (UTF-8 byte
+    * order ≠ UTF-16 code-unit order beyond ASCII; for pure-ASCII input
+    * they coincide and [[isCanonical]]'s logic ports byte-for-byte).
+    */
+  def canonicalizeUtf8(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    if (u == null) null
+    else if (isCanonicalAscii(u)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      canonicalizeSlow(u.toString))
+  }
+
+  /** Byte-level [[isCanonical]] for pure-ASCII input; any high byte →
+    * false (conservative, slow path decides).
+    */
+  private[graft] def isCanonicalAscii(
+      u: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val n = u.numBytes
+    var i = 0
+    // ASCII-only and no fragment anywhere
+    while (i < n) {
+      val b = u.getByte(i)
+      if (b < 0 || b == '#') return false
+      i += 1
+    }
+    // scheme: chars before the FIRST ':' must be [a-z0-9+.-]
+    var schemeEnd = -1
+    i = 0
+    while (i < n && schemeEnd < 0) {
+      if (u.getByte(i) == ':') schemeEnd = i else i += 1
+    }
+    if (schemeEnd < 0) return true
+    i = 0
+    while (i < schemeEnd) {
+      val c = u.getByte(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '+' || c == '.' || c == '-'
+      if (!ok) return false
+      i += 1
+    }
+    if (!(schemeEnd + 2 < n && u.getByte(schemeEnd + 1) == '/' &&
+        u.getByte(schemeEnd + 2) == '/')) return true
+    val authStart = schemeEnd + 3
+    var authEnd = authStart
+    var lastColon = -1
+    while (authEnd < n && u.getByte(authEnd) != '/' && u.getByte(authEnd) != '?') {
+      val c = u.getByte(authEnd)
+      if (c == '@') return false // userinfo would be stripped
+      if (c == ':') lastColon = authEnd
+      if (c >= 'A' && c <= 'Z') return false // host lowercasing
+      authEnd += 1
+    }
+    // empty path would become "/"
+    if (authEnd >= n || u.getByte(authEnd) != '/') return false
+    val hostEnd = if (lastColon >= 0) lastColon else authEnd
+    // trailing host dot would be stripped
+    if (hostEnd > authStart && u.getByte(hostEnd - 1) == '.') return false
+    if (lastColon >= 0) {
+      // port: non-empty digits, and not the scheme default
+      if (lastColon + 1 >= authEnd) return false
+      i = lastColon + 1
+      while (i < authEnd) {
+        val c = u.getByte(i)
+        if (c < '0' || c > '9') return false
+        i += 1
+      }
+      val portLen = authEnd - lastColon - 1
+      if (portLen == 2 && u.getByte(lastColon + 1) == '8' &&
+          u.getByte(lastColon + 2) == '0' && schemeEnd == 4 &&
+          u.getByte(0) == 'h' && u.getByte(1) == 't' &&
+          u.getByte(2) == 't' && u.getByte(3) == 'p') return false
+      if (portLen == 3 && u.getByte(lastColon + 1) == '4' &&
+          u.getByte(lastColon + 2) == '4' && u.getByte(lastColon + 3) == '3' &&
+          schemeEnd == 5 && u.getByte(0) == 'h' && u.getByte(1) == 't' &&
+          u.getByte(2) == 't' && u.getByte(3) == 'p' &&
+          u.getByte(4) == 's') return false
+    }
+    // query: '&'-separated params must already be in sorted order
+    var qIdx = -1
+    i = authEnd
+    while (i < n && qIdx < 0) { if (u.getByte(i) == '?') qIdx = i else i += 1 }
+    if (qIdx < 0) return true
+    if (qIdx == n - 1) return false // bare trailing '?' is dropped
+    var prevStart = qIdx + 1
+    var prevEnd = prevStart
+    while (prevEnd < n && u.getByte(prevEnd) != '&') prevEnd += 1
+    while (prevEnd < n) { // prevEnd sits on '&'
+      val curStart = prevEnd + 1
+      var curEnd = curStart
+      while (curEnd < n && u.getByte(curEnd) != '&') curEnd += 1
+      val la = prevEnd - prevStart
+      val lb = curEnd - curStart
+      var k = 0
+      val m = math.min(la, lb)
+      var cmp = 0
+      while (k < m && cmp == 0) {
+        cmp = u.getByte(prevStart + k) - u.getByte(curStart + k)
+        k += 1
+      }
+      if (cmp == 0) cmp = la - lb
+      if (cmp > 0) return false
+      prevStart = curStart
+      prevEnd = curEnd
+    }
+    true
+  }
 
   /** Extract the host (lowercased, trailing dot + default port stripped). */
   def hostOf(url: Column): Column = hostUdf(url)
 
-  /** Canonicalize a URL column per the contract above. */
-  def canonicalUrl(url: Column): Column = canonicalUdf(url)
+  /** Canonicalize a URL column per the contract above — a native codegen
+    * `Expression` ([[graft.functions.CanonicalUrlExpr]]): stays inside
+    * whole-stage codegen (the udf form broke the round's hottest
+    * pipeline into two codegen stages) and the already-canonical fast
+    * path is ZERO-COPY (returns the scan's UTF8String as-is — the udf
+    * form paid a UTF8→String→UTF8 round trip per row even when the
+    * value was unchanged).
+    */
+  def canonicalUrl(url: Column): Column =
+    graft.functions.GraftFunctions.canonicalUrlColumn(url)
 
   /** Bloom-probe / dedupe key. */
   def urlKey(canonical: Column): Column = xxhash64(canonical)

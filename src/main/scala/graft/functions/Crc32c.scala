@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 
 /** Native Catalyst `crc32c(binary) -> long` (reference digest #2,
   * /root/reference/src/digest.rs:99-102 — the iSCSI/Castagnoli CRC the
@@ -76,6 +76,34 @@ case class Xxh3_64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst `canonical_url(string) -> string` — the frontier
+  * round's hottest scalar ([[graft.frontier.Canonical]] contract). As an
+  * `Expression` with `doGenCode` it stays inside whole-stage codegen
+  * (the udf form split the round's main pipeline into two codegen
+  * stages), and the already-canonical fast path returns the input
+  * `UTF8String` object unchanged — zero copies for the common case.
+  */
+case class CanonicalUrlExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"canonical_url requires string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canonical_url"
+
+  protected override def nullSafeEval(input: Any): Any =
+    graft.frontier.Canonical.canonicalizeUtf8(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, value =>
+      s"${ev.value} = graft.frontier.Canonical.canonicalizeUtf8($value);")
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalUrlExpr =
+    copy(child = newChild)
+}
+
 /** Session-extension injector: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (or [[GraftFunctions.register]] at runtime) makes `crc32c` / `xxh3_64`
   * available to SQL and `call_function`.
@@ -116,4 +144,12 @@ object GraftFunctions {
 
   /** Column API for [[Xxh3_64]] (same registration requirement). */
   def xxh3(c: Column): Column = call_function("xxh3_64", c)
+
+  /** Registration-free Column wrapper for [[CanonicalUrlExpr]] — the
+    * frontier round must not depend on per-session function registry
+    * state, so the Column is built from the Expression directly.
+    */
+  def canonicalUrlColumn(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CanonicalUrlExpr(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 }

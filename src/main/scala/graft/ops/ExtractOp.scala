@@ -148,7 +148,12 @@ object ExtractOp {
           raw.initialize(java.net.URI.create("file:///"), conf)
           raw
         } else base.getFileSystem(conf)
-      val madeDirs = scala.collection.mutable.HashSet.empty[String]
+      // per-directory: did it exist BEFORE this task touched it? Only a
+      // pre-existing directory can hold stale .crc sidecars from an
+      // earlier checksummed write — fresh directories skip the per-file
+      // unlink attempt entirely (150k wasted metadata ops measured as
+      // ~2x the whole sink's cost on a fresh tree)
+      val dirPreExisted = scala.collection.mutable.HashMap.empty[String, Boolean]
       def toPath(cs: Seq[String]) =
         cs.foldLeft(base)((p, c) => new org.apache.hadoop.fs.Path(p, c))
       // conflict resolution against an IN-MEMORY tree built from the
@@ -166,15 +171,20 @@ object ExtractOp {
         files += resolved
         resolved.inits.drop(1).takeWhile(_.nonEmpty).foreach(dirs += _)
         val target = toPath(resolved)
-        // one mkdirs per DIRECTORY, not per row (a stat per row on a
-        // large tree was the other half of the slow sink)
+        // one exists+mkdirs per DIRECTORY, not per row (a stat per row
+        // on a large tree was the other half of the slow sink)
         val parent = target.getParent
-        if (madeDirs.add(parent.toString)) fs.mkdirs(parent)
+        val preExisted = dirPreExisted.getOrElseUpdate(parent.toString, {
+          val existed = fs.exists(parent)
+          if (!existed) fs.mkdirs(parent)
+          existed
+        })
         // overwriting a tree previously written through the CHECKSUMMED
         // LocalFileSystem would leave its .crc sidecar stale (a later
         // checksummed read then fails with ChecksumException) — drop any
-        // sibling sidecar; one unlink attempt per file, no shell fork
-        if (isRawLocal)
+        // sibling sidecar; one unlink attempt per file, only in
+        // directories that pre-existed (fresh ones cannot hold sidecars)
+        if (isRawLocal && preExisted)
           try fs.delete(new org.apache.hadoop.fs.Path(parent,
             "." + target.getName + ".crc"), false)
           catch { case _: java.io.IOException => () }

@@ -20,11 +20,17 @@ object FrontierWrite {
     // is laid out on (priority_band, host_hash) — host is a real column),
     // so rounds never re-derive it and the hot-host count pass reads one
     // pruned column
-    Synth.frontierSeed(spark, n.toInt, nHosts.toInt).toDF()
+    val seed = Synth.frontierSeed(spark, n.toInt, nHosts.toInt).toDF()
       .select(col("url"), col("priority_band"))
       .withColumn("host", graft.frontier.Canonical.hostOf(col("url")))
-      .repartition(64)
-      .write.mode("overwrite").parquet(path)
+    if (args.length > 3 && args(3) == "bucketed")
+      // CLUSTERED BY host, one file per bucket (repartition key hashing
+      // == bucket hashing) — the layout the exchange-free round scans
+      seed.repartition(64, col("host"))
+        .write.mode("overwrite").bucketBy(64, "host")
+        .option("path", path).saveAsTable("graft_frontier_write")
+    else
+      seed.repartition(64).write.mode("overwrite").parquet(path)
     spark.stop()
   }
 }

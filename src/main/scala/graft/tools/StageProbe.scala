@@ -34,8 +34,12 @@ object StageProbe {
     val parquetSrc = sys.env.get("SPARK_GRAFT_SRC").contains("parquet")
     val srcPath = s"/tmp/graft-stage-frontier-$n"
     if (parquetSrc) {
+      // same shape as the bench frontier table: host materialized,
+      // fixed 64-way layout (see Bench's frontierTablePath write)
       Synth.frontierSeed(spark, n, 10000).toDF()
         .select(col("url"), col("priority_band"))
+        .withColumn("host", Canonical.hostOf(col("url")))
+        .repartition(64)
         .write.mode("overwrite").parquet(srcPath)
     }
     def frontier =
@@ -44,11 +48,16 @@ object StageProbe {
         .select(col("url"), col("priority_band"))
 
     // the fused cold leg, piecewise (mirrors Scheduler.runRoundImpl's
-    // probe-free branch minus the tiny hot leg)
-    def withHost = frontier.withColumn("host", Canonical.hostOf(col("url")))
+    // probe-free branch minus the tiny hot leg); in parquet mode the
+    // stored host column is trusted like the round does
+    def withHost =
+      if (parquetSrc) frontier
+      else frontier.withColumn("host", Canonical.hostOf(col("url")))
     def exchanged = withHost.repartition(col("host"))
       .withColumn("canonical_url", Canonical.canonicalUrl(col("url")))
-    def deduped = Scheduler.dedupeWithinHost(exchanged)
+    def deduped =
+      if (parquetSrc) Scheduler.dedupeWithinHostAgg(exchanged)
+      else Scheduler.dedupeWithinHost(exchanged)
     def robotted = Politeness.applyRobotsMap(deduped, robotsBc)
     def scheduled = Politeness.schedule(robotted)
 

@@ -68,11 +68,46 @@ object VariantProbe {
         .count()),
       "V3-cold-nosort" -> (() => coldPipeline(Scheduler.dedupeWithinHost).count()))
 
+    // V4: frontier as a BUCKETED table (CLUSTERED BY host, one file per
+    // bucket) + the clustered round — the storage layout replaces the
+    // per-round exchange. Built from whatever `frontier` resolves to.
+    val bucketPath = s"/tmp/graft-variant-bucketed-$n"
+    val bucketed: Option[() => Long] =
+      try {
+        frontier
+          .withColumn("host", Canonical.hostOf(col("url")))
+          .repartition(64, col("host"))
+          .write.mode("overwrite")
+          .bucketBy(64, "host")
+          .option("path", bucketPath)
+          .saveAsTable("graft_variant_frontier")
+        val t = spark.table("graft_variant_frontier")
+        val plan = Scheduler.runRoundCached(t, seen, robotsBc,
+          frontierHostClustered = true)
+        val nEx = plan.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+        val nExOld = Scheduler.runRoundCached(t, seen, robotsBc)
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+        println(s"V4 shuffle-exchanges: clustered=$nEx vs repartitioned=$nExOld")
+        if (sys.env.contains("SPARK_GRAFT_PLAN")) {
+          println("==== clustered plan ====")
+          println(plan.queryExecution.executedPlan.treeString.take(8000))
+        }
+        Some(() => Scheduler.runRoundCached(t, seen, robotsBc,
+          frontierHostClustered = true).count())
+      } catch { case e: Exception =>
+        println(s"V4 bucketed setup failed: ${e.getMessage}"); None
+      }
+    val allVariants = variants ++ bucketed.map("V4-bucketed-clustered" -> _)
+
     // warm-up
     Scheduler.runRoundCached(Synth.frontierSeed(spark, n / 8, 10000).toDF()
       .select(col("url"), col("priority_band")), seen, robotsBc).count()
 
-    variants.foreach { case (name, f) =>
+    allVariants.foreach { case (name, f) =>
       val secs = (1 to trials).map { _ =>
         val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
       }

@@ -111,6 +111,65 @@ class PolitenessSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("dedupeWithinHostAgg == dedupeWithinHost on the bare cold-leg schema") {
+    // band ties (min url wins), band differences (min band wins), a
+    // boundary band (99999), several hosts, and null-url rows — the
+    // all-null canonical group must collapse to ONE null row with the
+    // min band in BOTH forms
+    val rows = Seq(
+      ("https://a.test/x?v=1", 3, "a.test", "https://a.test/x"),
+      ("https://a.test/x?v=0", 3, "a.test", "https://a.test/x"), // tie: min url
+      ("https://a.test/x", 7, "a.test", "https://a.test/x"),     // loses on band
+      ("https://a.test/y", 99999, "a.test", "https://a.test/y"), // band boundary
+      ("https://b.test/x", 0, "b.test", "https://b.test/x"),     // same canonical, other host
+      (null, 9, null, null),
+      (null, 5, null, null), // null group winner: band 5
+      ("https://b.test/z", 1, "b.test", "https://b.test/z")
+    ).toDF("url", "priority_band", "host", "canonical_url")
+    val cols = Seq("url", "priority_band", "host", "canonical_url").map(col)
+    val win = Scheduler.dedupeWithinHost(rows).select(cols: _*)
+    val agg = Scheduler.dedupeWithinHostAgg(rows).select(cols: _*)
+    assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty)
+    assert(agg.count() == 5)
+    val nullRow = agg.where(col("url").isNull).collect()
+    assert(nullRow.length == 1 && nullRow.head.getInt(1) == 5)
+  }
+
+  test("clustered round on a bucketed frontier == repartitioned round, fewer exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val raw = Synth.frontierSeed(spark, 3000, nHosts = 40).toDF()
+      .select($"url", $"priority_band")
+      .withColumn("host", Canonical.hostOf($"url"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    spark.sql("DROP TABLE IF EXISTS graft_test_frontier")
+    raw.repartition(4, $"host").write.mode("overwrite").bucketBy(4, "host")
+      .option("path", s"$dir/frontier").saveAsTable("graft_test_frontier")
+    val table = spark.table("graft_test_frontier")
+    val robots = Synth.robots(spark, 40).toDF()
+    val seen = Scheduler.loadSeen(spark, "/tmp/none")
+    val cols = Seq("canonical_url", "host_seq", "scheduled_ms", "batch_id")
+    val clustered = Scheduler.runRound(table, seen, robots,
+      frontierHostClustered = true)
+    val plain = Scheduler.runRound(raw, seen, robots)
+    val a = clustered.select(cols.map(col): _*)
+    val b = plain.select(cols.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the bucketed scan's hashpartitioning(host) must eliminate the
+    // cold leg's full-frontier exchange (hot-leg exchanges remain);
+    // AQE off for the inspection — AdaptiveSparkPlanExec hides the
+    // exchanges until execution
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def nEx(df: org.apache.spark.sql.DataFrame, clustered: Boolean) =
+        Scheduler.runRound(df, seen, robots, frontierHostClustered = clustered)
+          .queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }.size
+      assert(nEx(table, true) < nEx(raw, false),
+        s"clustered=${nEx(table, true)} plain=${nEx(raw, false)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("robotsBroadcast refuses a table past the size guard") {
     val robots = Synth.robots(spark, 50).toDF()
     val e = intercept[IllegalArgumentException] {

@@ -121,6 +121,14 @@ class PropertySpec extends AnyFunSuite {
       // idempotence: the canonical form must itself be canonical-stable
       assert(Canonical.canonicalize(slow) == Canonical.canonicalizeSlow(slow),
         s"second pass diverges on <$slow>")
+      // the UTF8String byte path (the codegen Expression's runtime) must
+      // agree with the String contract on every input, and its fast path
+      // must never fire on a non-identity URL
+      val u8 = org.apache.spark.unsafe.types.UTF8String.fromString(u)
+      assert(Canonical.canonicalizeUtf8(u8).toString == slow,
+        s"utf8 path diverges on <$u>")
+      if (Canonical.isCanonicalAscii(u8))
+        assert(slow == u, s"utf8 fast path false-positive on <$u> (slow=<$slow>)")
     }
   }
 
