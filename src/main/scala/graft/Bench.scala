@@ -145,18 +145,32 @@ object Bench {
       * per completed round (indexed at completion so two rounds drained
       * in one poll keep distinct indices).
       */
+    // last few non-protocol output lines (Spark ERROR logs, stack traces)
+    // — surfaced when a child dies pre-READY, else that failure mode is
+    // invisible (merged stderr used to be silently dropped here)
+    private val tail = new java.util.ArrayDeque[String](8)
+    def lastOutput: String = {
+      import scala.jdk.CollectionConverters._
+      tail.asScala.mkString(" | ").take(600)
+    }
     def poll(): Seq[(Int, Double)] = {
       val out = Seq.newBuilder[(Int, Double)]
       var l = lines.poll()
       while (l != null) {
         if (l.startsWith("READY")) ready = true
-        else "ROUND_SEC=([0-9.]+) ROUND_ROWS=([0-9]+)".r.findFirstMatchIn(l)
-          .foreach { m =>
+        else {
+          val m = "ROUND_SEC=([0-9.]+) ROUND_ROWS=([0-9]+)".r.findFirstMatchIn(l)
+          m.foreach { m =>
             lastRows = m.group(2).toLong
             completed += 1
             inFlight = false
             out += ((completed, m.group(1).toDouble))
           }
+          if (m.isEmpty && l.trim.nonEmpty) {
+            if (tail.size >= 6) tail.pollFirst()
+            tail.addLast(l.trim.take(200))
+          }
+        }
         l = lines.poll()
       }
       out.result()
@@ -200,6 +214,11 @@ object Bench {
     var recordsPerSec = -1.0
     var scheduled = 0L
     val trials = scala.collection.mutable.ArrayBuffer.empty[Trial]
+    // phase milestones (elapsed seconds), shipped in the JSON: the r04.0
+    // run produced zero scaling rounds with NO trace of where 330 s went
+    // — never again. Every opaque failure becomes per-phase timings.
+    val milestones = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def mark(n: String): Unit = stateLock.synchronized { milestones(n) = elapsed }
     val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     def setQuery(n: String, s: Double): Unit = stateLock.synchronized { queries(n) = s }
     def setErr(n: String, m: String): Unit = stateLock.synchronized { queryErrors(n) = m }
@@ -235,6 +254,8 @@ object Bench {
         s""""urls_per_sec_low":${f(frontierN / tLow)},"urls_per_sec_high":${f(frontierN / tHigh)},""" +
         s""""efficiency":${f(efficiency)},"rounds_low":${lows.size},"rounds_high":${highs.size},""" +
         s""""trials":$trialsJson},""" +
+        s""""milestones":${milestones.map { case (k, v) => s"${jstr(k)}:${f(v)}" }
+          .mkString("{", ",", "}")},""" +
         s""""budget_sec":${f(budgetSec)},"elapsed_sec":${f(elapsed)}}"""
     }
 
@@ -362,7 +383,13 @@ object Bench {
     // spawning children so every cores level scans identical files;
     // fallback ladder: bucketed write fails → plain 64-way parquet →
     // per-round synthesis.
-    val frontierTablePath = s"/tmp/graft-bench-frontier-$frontierN"
+    // deterministic path keyed by every input that shapes the table
+    // (row count, host count, bucket count, synth version): a table left
+    // by a previous bench run with the same key is byte-identical, so a
+    // complete (_SUCCESS-marked) dir is REUSED — the write cost ~40 s of
+    // the r04.0 budget before the children could even spawn
+    val frontierTablePath =
+      s"/tmp/graft-bench-frontier-v1-$frontierN-$nHosts-$scaleParts"
     val earlySpark: SparkSession = session(cpus, 2 * cpus)
     def frontierSeedDf = {
       import org.apache.spark.sql.functions.col
@@ -370,8 +397,11 @@ object Bench {
         .select(col("url"), col("priority_band"))
         .withColumn("host", graft.frontier.Canonical.hostOf(col("url")))
     }
+    def complete(dir: String): Boolean =
+      new java.io.File(dir, "_SUCCESS").isFile
     val bucketedOk =
-      try {
+      complete(frontierTablePath + "-bucketed") ||
+      (try {
         import org.apache.spark.sql.functions.col
         earlySpark.sql("DROP TABLE IF EXISTS graft_bench_frontier_src")
         frontierSeedDf
@@ -382,8 +412,8 @@ object Bench {
         true
       } catch { case e: Exception =>
         setErr("frontier_bucketed_write", e.getMessage.take(300)); false
-      }
-    val frontierTableOk = bucketedOk ||
+      })
+    val frontierTableOk = bucketedOk || complete(frontierTablePath) ||
       (try {
         frontierSeedDf.repartition(64)
           .write.mode("overwrite").parquet(frontierTablePath)
@@ -391,6 +421,7 @@ object Bench {
       } catch { case e: Exception =>
         setErr("frontier_table_write", e.getMessage.take(300)); false
       })
+    mark("frontier_table")
     val childEnv =
       if (bucketedOk)
         Map("SPARK_GRAFT_FRONTIER_BUCKETED" -> (frontierTablePath + "-bucketed"))
@@ -400,6 +431,7 @@ object Bench {
     val hiChild = new Child(scaleHigh, frontierN, nHosts, scaleParts, jvmArgs, childEnv)
     val loChild = new Child(scaleLow, frontierN, nHosts, scaleParts, jvmArgs, childEnv)
     val children = Seq(hiChild, loChild)
+    mark("children_spawn")
 
     def poll(): Unit =
       for (c <- children) {
@@ -418,8 +450,15 @@ object Bench {
         if (c.dead && c.inFlight) {
           c.inFlight = false
           setErr(s"scaling_child_c${c.cores}_died",
-            s"child exited mid-round after ${c.completed} completed rounds")
+            s"child exited mid-round after ${c.completed} completed rounds; " +
+              s"last output: ${c.lastOutput}")
         }
+        // a child that died before READY (startup crash — bad classpath,
+        // CREATE TABLE failure, OOM during init) was previously INVISIBLE:
+        // the gate phase just stalled out with zero rounds and no trace
+        if (c.dead && !c.ready)
+          setErr(s"scaling_child_c${c.cores}_died_preready",
+            s"child exited before READY; last output: ${c.lastOutput}")
       }
 
     def lowSecs = trials.filter(_.cores == scaleLow).map(_.sec)
@@ -471,7 +510,9 @@ object Bench {
       } catch { case e: Exception =>
         setErr("verify_headline", e.getMessage.take(300))
       }
-      // wait for idle children before timing anything
+      mark("parent_warmup")
+      // wait for idle children before timing anything — cheap now that
+      // READY needs no warm-up rounds (~10-15 s after spawn)
       val readyDeadline = System.nanoTime() +
         (math.max(30, math.min(100, remaining - 300)) * 1e9).toLong
       while (!children.forall(_.ready) && !children.exists(_.dead) &&
@@ -479,6 +520,7 @@ object Bench {
         Thread.sleep(500)
         poll()
       }
+      if (children.forall(_.ready)) mark("children_ready")
       // first timed verify pass NOW (idle box, ~5-10 s): two runs in a
       // row lost the end-of-run re-time to the budget tail and reported
       // no headline number — this pass guarantees one; the end re-time
@@ -509,10 +551,21 @@ object Bench {
       def expSec(c: Child): Double = {
         val secs = trials.filter(_.cores == c.cores).map(_.sec)
         if (secs.nonEmpty) secs.min * 1.4
+        // priors sized for a COLD first round (no pre-READY warm-up now:
+        // round 1 self-warms and min-of-rounds discards it)
         else if (c.cores == scaleHigh) 25.0 else 60.0
       }
+      // a config with ZERO completed rounds reserves less than the full
+      // suite floor: a gate that reports null forfeits the round's single
+      // remaining BASELINE criterion (exactly how r04.0 failed), which is
+      // strictly worse than a clipped query suite. With >=1 round per
+      // config the full floor protects the suite again.
+      def issueReserve(c: Child): Double = if (c.completed == 0) 75.0 else gateFloor
       var stall = 0 // guards against a child that never becomes ready
-      while (!evidenceMet && remaining > gateFloor && stall < 90 &&
+      mark("gate_start")
+      while (!evidenceMet && stall < 90 &&
+             (remaining > gateFloor ||
+               (remaining > 110 && children.exists(c => !c.dead && c.completed == 0))) &&
              children.exists(c => !c.dead && c.issued < maxRounds)) {
         val before = trials.size
         // frontload: configs still short of 3 rounds first, and among
@@ -520,19 +573,26 @@ object Bench {
         // run 3 starved rounds_low by spending the early window on
         // cheap c8 rounds, then c2 no longer fit above the floor
         children.filter(c => c.ready && !c.dead && c.issued < maxRounds &&
-            remaining - expSec(c) > gateFloor)
+            remaining - expSec(c) > issueReserve(c))
           .sortBy(c => if (c.completed < 3) (0, c.completed, c.cores)
                        else (1, c.completed, -c.cores))
           .headOption match {
-          case Some(c) => runRound(c, gateFloor)
+          case Some(c) => runRound(c, issueReserve(c))
           case None =>
-            // nothing fits above the floor: if a round is in flight let
-            // it land, else the gate phase is over
-            if (!children.exists(c => c.inFlight && !c.dead)) stall = 90
+            // nothing issuable right now. Keep waiting (stall-bounded) if
+            // a round is in flight OR a live child is still warming up and
+            // would fit once READY — r04.0 hit this case with both
+            // children alive-but-not-ready and stalled out INSTANTLY,
+            // ending the gate phase one second after it began.
+            val waitable = children.exists(c => !c.dead && !c.ready &&
+              c.issued < maxRounds && remaining - expSec(c) > issueReserve(c))
+            if (!children.exists(c => c.inFlight && !c.dead) && !waitable)
+              stall = 90
         }
         if (trials.size > before) stall = 0
         else if (stall < 90) { stall += 1; Thread.sleep(1000); poll() }
       }
+      mark("gate_end")
 
       // let any in-flight round land before query timing starts
       // (bounded: a steal-stretched round should not eat the suite)
@@ -557,8 +617,13 @@ object Bench {
       // queries that could still finish get the budget.
       val heavy = Seq("q61_warc_split", "q67_warc_zstd_split",
         "q64_extract_tree", "q59_warc_to_images", "q66_checkpoint_resume")
-      val disturbed = trials.exists(_.steal > 10.0) ||
+      // trials.isEmpty => the gate produced nothing, so the box state is
+      // UNKNOWN (children possibly still churning) — run heavy last so
+      // the cheap queries bank their timings first (r04.0 ran them first
+      // and lost all three to the 45 s watchdog)
+      val disturbed = trials.isEmpty || trials.exists(_.steal > 10.0) ||
         highSecs.nonEmpty && highSecs.min > 22.0
+      mark("suite_start")
       val suite =
         if (disturbed) allQueries.filterNot(q => heavy.contains(q._1)) ++
           allQueries.filter(q => heavy.contains(q._1))
@@ -570,6 +635,7 @@ object Bench {
         }
         poll()
       }
+      mark("suite_end")
 
       // ---- one late retry for queries that errored/timed out (a steal
       // window mid-suite must not permanently cost a query its timing)

@@ -6,15 +6,25 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Long-lived frontier-round measurement child (spawned by Bench): one
-  * JVM, one SparkSession, one warm-up round, then one timed round per
-  * "go" line on stdin, each printed as `ROUND_SEC=<s> ROUND_ROWS=<n>`.
+  * JVM, one SparkSession, then one timed round per "go" line on stdin,
+  * each printed as `ROUND_SEC=<s> ROUND_ROWS=<n>`.
   *
   * One JVM per cores level (not one per trial) because on this microVM
   * cold guest pages fault at ~4.7 s/GB of kernel time: a fresh 10g JVM
   * per trial pays ~47 s of page faults each — five trials burned ~4 min
-  * of a 7-min budget on zeroing. Here the warm-up plus first timed round
-  * absorb the fault cost once; min-of-rounds discards it. `READY` is
-  * printed after warm-up so the parent can overlap child startups.
+  * of a 7-min budget on zeroing.
+  *
+  * NO warm-up rounds in table mode: `READY` prints as soon as the session
+  * and robots broadcast exist (~10 s). The first TIMED round is the
+  * warm-up — it runs ~1.7-3× the converged min (JIT + heap faults) and
+  * min-of-rounds discards it, which the ≥3-rounds/config evidence bar
+  * already requires. The previous shape (a synth warm-up round plus a
+  * full-table warm-up round before READY) delayed readiness to 53 s (c8)
+  * / 81 s (c2) on an IDLE box — concurrent with the parent's 32-thread
+  * verify warm-up it pushed past the gate phase's budget arithmetic and
+  * the r04.0 driver run recorded ZERO scaling rounds. Readiness is the
+  * critical path; warm-up inside timed rounds costs only the round-1
+  * sample.
   *
   * Args: cores n nHosts [shufflePartitions].
   */
@@ -85,14 +95,13 @@ object BenchRound {
         frontierHostClustered = bucketedPath.isDefined && rows == n).count()
     }
 
-    // JIT/codegen warm-up + faults a good chunk of the working set; kept
-    // small — with repeated in-JVM rounds, round 1 finishes the job and
-    // min-of-rounds discards it. In table mode a second warm-up pass runs
-    // the REAL table round once so the parquet-scan path (and in bucketed
-    // mode the exchange-free plan) is JIT-hot before the first timed
-    // round — without it round 1 read ~1.7× the converged min.
-    round(math.max(n / 8, 1000000))
-    if (bucketedPath.isDefined || frontierPath.isDefined) round(n)
+    // Table mode: NO pre-READY warm-up (see object doc — readiness is the
+    // critical path; the first timed round self-warms and min-of-rounds
+    // discards it). Legacy synth mode keeps one small warm-up round: there
+    // every round pays the generator, so a cold round 1 would conflate
+    // JIT + synth + round cost in a single discardable sample.
+    if (bucketedPath.isEmpty && frontierPath.isEmpty)
+      round(math.max(n / 8, 1000000))
     println("READY")
 
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
