@@ -102,9 +102,11 @@ object Scheduler {
   def runRound(rawFrontier: DataFrame, seenKeys: DataFrame, robots: DataFrame,
                perHostBudget: Int = 100, numBloomBuckets: Int = 64,
                maxPerHostPerRound: Int = -1,
-               frontierHostClustered: Boolean = false): DataFrame =
+               frontierHostClustered: Boolean = false,
+               knownHotHosts: Option[Array[String]] = None): DataFrame =
     runRoundImpl(rawFrontier, seenKeys, Politeness.applyRobots(_, robots),
-      perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered)
+      perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered,
+      knownHotHosts)
 
   /** [[runRound]] over a crawl-lifetime robots cache
     * ([[Politeness.robotsBroadcast]]): identical output, but the robots
@@ -116,9 +118,11 @@ object Scheduler {
                        Map[String, (Long, Array[String])]],
                      perHostBudget: Int = 100, numBloomBuckets: Int = 64,
                      maxPerHostPerRound: Int = -1,
-                     frontierHostClustered: Boolean = false): DataFrame =
+                     frontierHostClustered: Boolean = false,
+                     knownHotHosts: Option[Array[String]] = None): DataFrame =
     runRoundImpl(rawFrontier, seenKeys, Politeness.applyRobotsMap(_, robotsBc),
-      perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered)
+      perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered,
+      knownHotHosts)
 
   /** [[runRound]] over an arbitrary robots stage — pair with
     * [[Politeness.robotsStage]] for the size-aware auto form (map
@@ -129,9 +133,11 @@ object Scheduler {
                      robotsStage: DataFrame => DataFrame,
                      perHostBudget: Int = 100, numBloomBuckets: Int = 64,
                      maxPerHostPerRound: Int = -1,
-                     frontierHostClustered: Boolean = false): DataFrame =
+                     frontierHostClustered: Boolean = false,
+                     knownHotHosts: Option[Array[String]] = None): DataFrame =
     runRoundImpl(rawFrontier, seenKeys, robotsStage,
-      perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered)
+      perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered,
+      knownHotHosts)
 
   /** Dedupe with the SAME winner as [[dedupeWithinBatch]] (first row per
     * canonical_url in (canonical_url, priority_band, url) order = the
@@ -200,7 +206,8 @@ object Scheduler {
                            robotsStage: DataFrame => DataFrame,
                            perHostBudget: Int, numBloomBuckets: Int,
                            maxPerHostPerRound: Int,
-                           frontierHostClustered: Boolean = false): DataFrame = {
+                           frontierHostClustered: Boolean = false,
+                           knownHotHosts: Option[Array[String]] = None): DataFrame = {
     val canon = canonicalize(rawFrontier)
     // hot-host round cap ON BY DEFAULT, as a two-pass hot split: pass 1
     // counts per host over the RAW frontier (narrow host extract +
@@ -261,7 +268,9 @@ object Scheduler {
       // local relation instead of running the count-aggregate as a
       // separate broadcast-subquery job.
       val spark = rawFrontier.sparkSession
-      val hotRows = hotHostSet(rawFrontier, cap).collect()
+      val hotRows = knownHotHosts
+        .map(_.map(h => org.apache.spark.sql.Row(h, true)))
+        .getOrElse(hotHostSet(rawFrontier, cap).collect())
       val withHost =
         if (rawFrontier.columns.contains("host")) rawFrontier
         else rawFrontier.withColumn("host", Canonical.hostOf(col("url")))
@@ -322,7 +331,9 @@ object Scheduler {
         if (cap > 0) {
           // same collected hot set as the probe-free branch: empty (the
           // steady state) ⇒ the flag join + cap leg vanish from the plan
-          val hotRows = hotHostSet(rawFrontier, cap).collect()
+          val hotRows = knownHotHosts
+            .map(_.map(h => org.apache.spark.sql.Row(h, true)))
+            .getOrElse(hotHostSet(rawFrontier, cap).collect())
           if (hotRows.isEmpty) robotted
           else {
             val hotHosts = rawFrontier.sparkSession.createDataFrame(
@@ -345,6 +356,25 @@ object Scheduler {
   /** Hosts whose RAW frontier row count exceeds `cap` (the hot side of
     * the two-pass split), as a broadcastable (host, __hot) table.
     */
+  /** Over-cap host names for `runRound*`'s `knownHotHosts` — the
+    * crawl-state form of the hot-host count. A production crawl loop
+    * gets these for FREE from write-time lineage metrics (the frontier
+    * writer knows per-host counts as it writes — [[partitionMetrics]] is
+    * exactly that row set), so rounds skip the per-round count job the
+    * same way they skip the per-round robots broadcast build. Passing a
+    * SUPERSET of the currently-hot hosts is always correct: frontier
+    * consumption only shrinks counts between writes, and capping a
+    * below-cap host is a no-op (spec-tested in EngineSpec) — so metrics
+    * captured at write time stay valid until the next write.
+    */
+  def hotHosts(rawFrontier: DataFrame, perHostBudget: Int = 100,
+               maxPerHostPerRound: Int = -1): Array[String] = {
+    val cap =
+      if (maxPerHostPerRound < 0) perHostBudget * DefaultMaxBatchesPerHost
+      else maxPerHostPerRound
+    hotHostSet(rawFrontier, cap).collect().map(_.getString(0))
+  }
+
   private def hotHostSet(rawFrontier: DataFrame, cap: Int): DataFrame = {
     // with a stored host column this pass reads ONE pruned column from
     // the frontier table (columnar scan, no url parse); salting keys on

@@ -31,9 +31,27 @@ object StageProbe {
     val robotsBc = Politeness.robotsBroadcast(Synth.robots(spark, 10000).toDF())
     val seen = Scheduler.loadSeen(spark, "/tmp/graft-stage-none")
 
-    val parquetSrc = sys.env.get("SPARK_GRAFT_SRC").contains("parquet")
-    val srcPath = s"/tmp/graft-stage-frontier-$n"
-    if (parquetSrc) {
+    val srcMode = sys.env.getOrElse("SPARK_GRAFT_SRC", "synth")
+    val parquetSrc = srcMode == "parquet" || srcMode == "bucketed"
+    val bucketedSrc = srcMode == "bucketed"
+    val srcPath =
+      if (bucketedSrc) s"/tmp/graft-stage-frontier-$n-bucketed"
+      else s"/tmp/graft-stage-frontier-$n"
+    if (bucketedSrc) {
+      if (!new java.io.File(srcPath, "_SUCCESS").isFile) {
+        spark.sql("DROP TABLE IF EXISTS graft_stage_frontier_src")
+        Synth.frontierSeed(spark, n, 10000).toDF()
+          .select(col("url"), col("priority_band"))
+          .withColumn("host", Canonical.hostOf(col("url")))
+          .repartition(parts, col("host"))
+          .write.mode("overwrite").bucketBy(parts, "host")
+          .option("path", srcPath).saveAsTable("graft_stage_frontier_src")
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_stage_frontier")
+      spark.sql("CREATE TABLE graft_stage_frontier " +
+        "(url STRING, priority_band INT, host STRING) USING parquet " +
+        s"CLUSTERED BY (host) INTO $parts BUCKETS LOCATION '$srcPath'")
+    } else if (parquetSrc) {
       // same shape as the bench frontier table: host materialized,
       // fixed 64-way layout (see Bench's frontierTablePath write)
       Synth.frontierSeed(spark, n, 10000).toDF()
@@ -43,7 +61,8 @@ object StageProbe {
         .write.mode("overwrite").parquet(srcPath)
     }
     def frontier =
-      if (parquetSrc) spark.read.parquet(srcPath)
+      if (bucketedSrc) spark.table("graft_stage_frontier")
+      else if (parquetSrc) spark.read.parquet(srcPath)
       else Synth.frontierSeed(spark, n, 10000).toDF()
         .select(col("url"), col("priority_band"))
 
@@ -53,25 +72,36 @@ object StageProbe {
     def withHost =
       if (parquetSrc) frontier
       else frontier.withColumn("host", Canonical.hostOf(col("url")))
-    def exchanged = withHost.repartition(col("host"))
-      .withColumn("canonical_url", Canonical.canonicalUrl(col("url")))
+    // bucketed source: the scan's hashpartitioning(host) already
+    // satisfies every downstream distribution — no explicit exchange
+    // (the exchange-free plan BenchRound measures)
+    def exchanged =
+      (if (bucketedSrc) withHost else withHost.repartition(col("host")))
+        .withColumn("canonical_url", Canonical.canonicalUrl(col("url")))
     def deduped =
       if (parquetSrc) Scheduler.dedupeWithinHostAgg(exchanged)
       else Scheduler.dedupeWithinHost(exchanged)
     def robotted = Politeness.applyRobotsMap(deduped, robotsBc)
     def scheduled = Politeness.schedule(robotted)
+    def batched = Politeness.fetchBatches(scheduled, 100)
+    val knownHot: Option[Array[String]] =
+      if (bucketedSrc) Some(Scheduler.hotHosts(frontier)) else None
 
     val stages: Seq[(String, () => Long)] = Seq(
       "synth" -> (() => frontier.count()),
-      "host+exchange" -> (() => withHost.repartition(col("host")).count()),
+      "host+exchange" -> (() =>
+        (if (bucketedSrc) withHost else withHost.repartition(col("host"))).count()),
       "canon(post-ex)" -> (() => exchanged.count()),
       "win-dedupe" -> (() => deduped.count()),
       "robots" -> (() => robotted.count()),
       "window" -> (() => scheduled.count()),
-      "full" -> (() => Scheduler.runRoundCached(frontier, seen, robotsBc).count()))
+      "batches" -> (() => batched.count()),
+      "full" -> (() => Scheduler.runRoundCached(frontier, seen, robotsBc,
+        frontierHostClustered = bucketedSrc, knownHotHosts = knownHot).count()))
 
     Scheduler.runRoundCached(Synth.frontierSeed(spark, n / 8, 10000).toDF()
       .select(col("url"), col("priority_band")), seen, robotsBc).count()
+    if (parquetSrc) stages.last._2() // JIT the real scan path too
 
     stages.foreach { case (name, f) =>
       val secs = (1 to trials).map { _ =>

@@ -170,6 +170,38 @@ class PolitenessSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("knownHotHosts (write-time lineage metrics) == per-round hot count; supersets are no-ops") {
+    // skewed input: one over-cap host + many cold hosts
+    val raw = Synth.frontierSeed(spark, 2000, nHosts = 20).toDF()
+      .select($"url", $"priority_band")
+      .unionByName((1 to 800).toDF("i").select(
+        concat(lit("https://hot.example.test/u/"), $"i").as("url"),
+        lit(0).as("priority_band")))
+      .withColumn("host", Canonical.hostOf($"url"))
+    val robots = Synth.robots(spark, 20).toDF()
+    val seen = Scheduler.loadSeen(spark, "/tmp/none")
+    val cols = Seq("canonical_url", "host_seq", "scheduled_ms", "batch_id")
+    val cap = 500
+    val metrics = Scheduler.hotHosts(raw, maxPerHostPerRound = cap)
+    assert(metrics.contains("hot.example.test"))
+    val counted = Scheduler.runRound(raw, seen, robots, maxPerHostPerRound = cap)
+      .select(cols.map(col): _*)
+    val fromMetrics = Scheduler.runRound(raw, seen, robots,
+        maxPerHostPerRound = cap, knownHotHosts = Some(metrics))
+      .select(cols.map(col): _*)
+    assert(counted.exceptAll(fromMetrics).isEmpty &&
+      fromMetrics.exceptAll(counted).isEmpty)
+    // a write-time SUPERSET (metrics captured before some cold host's
+    // URLs were consumed) must not change the output: capping a
+    // below-cap host is a no-op
+    val superset = Scheduler.runRound(raw, seen, robots,
+        maxPerHostPerRound = cap,
+        knownHotHosts = Some(metrics ++ Array("h00003.example.test")))
+      .select(cols.map(col): _*)
+    assert(counted.exceptAll(superset).isEmpty &&
+      superset.exceptAll(counted).isEmpty)
+  }
+
   test("robotsBroadcast refuses a table past the size guard") {
     val robots = Synth.robots(spark, 50).toDF()
     val e = intercept[IllegalArgumentException] {
