@@ -338,6 +338,31 @@ object SparkEntry {
       joined.unionAll(mapped.exceptAll(joined)).unionAll(joined.exceptAll(mapped))
     }),
 
+    // Full round under a hot-host cap, driven by the METRICS-FED hot set
+    // (Scheduler.hotHosts == the write-time lineage metrics a production
+    // frontier writer persists via partitionMetrics) vs the per-round
+    // COUNTED hot set — plus a superset entry (a host not in the
+    // frontier) to gate the "stale metrics are a superset and capping a
+    // cold host is a no-op" contract under the driver oracle. Emitted as
+    // counted UNION ALL (fed \ counted) UNION ALL (counted \ fed), so
+    // any divergence between the two paths breaks the row/hash compare.
+    // cap=40 makes every derived host (~405 raw rows each) hot, so the
+    // whole hot leg (dedupe -> robots -> salted two-phase cap ->
+    // schedule) runs for both hot-set sources.
+    "q68_hot_metrics_round" -> ((s, dir) => {
+      val frontier = derivedFrontier(s, dir)
+      val robots = derivedRobots(s, dir)
+      def sel(df: DataFrame) = df.select(col("canonical_url"), col("host"),
+        col("host_seq"), col("scheduled_ms").cast("long").as("scheduled_ms"))
+      val counted = sel(Scheduler.runRound(frontier,
+        Scheduler.loadSeen(s, "/tmp/none"), robots, maxPerHostPerRound = 40))
+      val metrics = Scheduler.hotHosts(frontier, maxPerHostPerRound = 40)
+      val fed = sel(Scheduler.runRound(frontier,
+        Scheduler.loadSeen(s, "/tmp/none"), robots, maxPerHostPerRound = 40,
+        knownHotHosts = Some(metrics ++ Array("notinfrontier.example.test"))))
+      counted.unionAll(fed.exceptAll(counted)).unionAll(counted.exceptAll(fed))
+    }),
+
     // Checkpoint/resume end-to-end (north rule "resumable from an
     // Iceberg snapshot checkpoint"; parquet round dirs stand in): round
     // 1 schedules HALF the frontier and checkpoints (batch parquet +
@@ -1430,6 +1455,31 @@ object SparkEntry {
 
     "q26_politeness_schedule" ->
       s"""$scheduledCte
+         |SELECT canonical_url, host, host_seq, scheduled_ms FROM sched""".stripMargin,
+
+    // capped round: capping EVERY host at 40 in SQL equals the engine's
+    // hot/cold split (capping a below-cap host is a no-op), and the cap
+    // keeps the politeness order's top-40 (band, canonical_url) — the
+    // exact contract of Politeness.capPerHost
+    "q68_hot_metrics_round" ->
+      s"""$dedupedCte,
+         |pol AS (
+         |  SELECT d.*, 250 * (1 + hn % 4) AS crawl_delay_ms
+         |  FROM d
+         |  WHERE NOT (hn % 7 = 0 AND path LIKE '/p/1%')
+         |),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT pol.*, row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) AS crn
+         |    FROM pol
+         |  ) WHERE crn <= 40
+         |),
+         |sched AS (
+         |  SELECT canonical_url, host,
+         |    CAST(row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) AS BIGINT) AS host_seq,
+         |    CAST((row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) - 1) * crawl_delay_ms AS BIGINT) AS scheduled_ms
+         |  FROM capped
+         |)
          |SELECT canonical_url, host, host_seq, scheduled_ms FROM sched""".stripMargin,
 
     // round 2 of a resumed crawl: schedule over the full deduped
