@@ -363,6 +363,42 @@ object SparkEntry {
       counted.unionAll(fed.exceptAll(counted)).unionAll(counted.exceptAll(fed))
     }),
 
+    // FUSED SEEN round (the steady-state crawl path): frontier AND seen
+    // set both stored host-clustered (Spark bucketed parquet = the
+    // Iceberg bucket(N, host) stand-in), round = zero-exchange
+    // co-located anti-join on (host, url_key) -> hot split -> dedupe ->
+    // robots -> schedule, under a cap that makes every host hot. The
+    // seen set is the canonicals of the even-orderkey half (the q66
+    // parity trick - DuckDB has no xxhash64, so membership is defined
+    // by canonical equality, which the oracle CAN recompute). Emitted
+    // with both difference directions vs the bloom-probe path, so the
+    // gate simultaneously checks fused == probe == oracle.
+    "q69_fused_seen_round" -> ((s, dir) => {
+      val robots = derivedRobots(s, dir)
+      val withHost = derivedFrontier(s, dir)
+        .withColumn("host", Canonical.hostOf(col("url")))
+      val half1 = ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(frontierUrl.as("url"),
+          pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band"))
+      val seenDf = Scheduler.canonicalize(half1)
+        .select(col("host"), col("url_key")).distinct()
+      val base = s"/tmp/graft-q69/${new java.io.File(dir).getName}"
+      s.sql("DROP TABLE IF EXISTS graft_q69_frontier")
+      withHost.repartition(8, col("host"))
+        .write.mode("overwrite").bucketBy(8, "host")
+        .option("path", s"$base/frontier").saveAsTable("graft_q69_frontier")
+      Scheduler.saveSeenClustered(seenDf, s"$base/seen", buckets = 8)
+      def sel(df: DataFrame) = df.select(col("canonical_url"), col("host"),
+        col("host_seq"), col("scheduled_ms").cast("long").as("scheduled_ms"))
+      val fused = sel(Scheduler.runRound(s.table("graft_q69_frontier"),
+        Scheduler.loadSeenClustered(s, s"$base/seen", buckets = 8), robots,
+        maxPerHostPerRound = 40,
+        frontierHostClustered = true, seenHostClustered = true))
+      val probe = sel(Scheduler.runRound(withHost, seenDf, robots,
+        maxPerHostPerRound = 40))
+      fused.unionAll(probe.exceptAll(fused)).unionAll(fused.exceptAll(probe))
+    }),
+
     // Checkpoint/resume end-to-end (north rule "resumable from an
     // Iceberg snapshot checkpoint"; parquet round dirs stand in): round
     // 1 schedules HALF the frontier and checkpoints (batch parquet +
@@ -1466,6 +1502,38 @@ object SparkEntry {
          |pol AS (
          |  SELECT d.*, 250 * (1 + hn % 4) AS crawl_delay_ms
          |  FROM d
+         |  WHERE NOT (hn % 7 = 0 AND path LIKE '/p/1%')
+         |),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT pol.*, row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) AS crn
+         |    FROM pol
+         |  ) WHERE crn <= 40
+         |),
+         |sched AS (
+         |  SELECT canonical_url, host,
+         |    CAST(row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) AS BIGINT) AS host_seq,
+         |    CAST((row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) - 1) * crawl_delay_ms AS BIGINT) AS scheduled_ms
+         |  FROM capped
+         |)
+         |SELECT canonical_url, host, host_seq, scheduled_ms FROM sched""".stripMargin,
+
+    // fused seen round: anti-join the deduped frontier against the
+    // even-orderkey half's canonicals, then cap every host at 40
+    // (== the engine's hot/cold split; capping a below-cap host is a
+    // no-op) and schedule
+    "q69_fused_seen_round" ->
+      s"""$dedupedCte,
+         |seen AS (
+         |  SELECT DISTINCT canonical_url FROM f WHERE o_orderkey % 2 = 0
+         |),
+         |fresh AS (
+         |  SELECT d.* FROM d
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.canonical_url = d.canonical_url)
+         |),
+         |pol AS (
+         |  SELECT fresh.*, 250 * (1 + hn % 4) AS crawl_delay_ms
+         |  FROM fresh
          |  WHERE NOT (hn % 7 = 0 AND path LIKE '/p/1%')
          |),
          |capped AS (

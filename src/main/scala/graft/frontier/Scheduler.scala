@@ -103,10 +103,11 @@ object Scheduler {
                perHostBudget: Int = 100, numBloomBuckets: Int = 64,
                maxPerHostPerRound: Int = -1,
                frontierHostClustered: Boolean = false,
-               knownHotHosts: Option[Array[String]] = None): DataFrame =
+               knownHotHosts: Option[Array[String]] = None,
+               seenHostClustered: Boolean = false): DataFrame =
     runRoundImpl(rawFrontier, seenKeys, Politeness.applyRobots(_, robots),
       perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered,
-      knownHotHosts)
+      knownHotHosts, seenHostClustered)
 
   /** [[runRound]] over a crawl-lifetime robots cache
     * ([[Politeness.robotsBroadcast]]): identical output, but the robots
@@ -119,10 +120,11 @@ object Scheduler {
                      perHostBudget: Int = 100, numBloomBuckets: Int = 64,
                      maxPerHostPerRound: Int = -1,
                      frontierHostClustered: Boolean = false,
-                     knownHotHosts: Option[Array[String]] = None): DataFrame =
+                     knownHotHosts: Option[Array[String]] = None,
+                     seenHostClustered: Boolean = false): DataFrame =
     runRoundImpl(rawFrontier, seenKeys, Politeness.applyRobotsMap(_, robotsBc),
       perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered,
-      knownHotHosts)
+      knownHotHosts, seenHostClustered)
 
   /** [[runRound]] over an arbitrary robots stage — pair with
     * [[Politeness.robotsStage]] for the size-aware auto form (map
@@ -134,10 +136,11 @@ object Scheduler {
                      perHostBudget: Int = 100, numBloomBuckets: Int = 64,
                      maxPerHostPerRound: Int = -1,
                      frontierHostClustered: Boolean = false,
-                     knownHotHosts: Option[Array[String]] = None): DataFrame =
+                     knownHotHosts: Option[Array[String]] = None,
+                     seenHostClustered: Boolean = false): DataFrame =
     runRoundImpl(rawFrontier, seenKeys, robotsStage,
       perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered,
-      knownHotHosts)
+      knownHotHosts, seenHostClustered)
 
   /** Dedupe with the SAME winner as [[dedupeWithinBatch]] (first row per
     * canonical_url in (canonical_url, priority_band, url) order = the
@@ -207,7 +210,8 @@ object Scheduler {
                            perHostBudget: Int, numBloomBuckets: Int,
                            maxPerHostPerRound: Int,
                            frontierHostClustered: Boolean = false,
-                           knownHotHosts: Option[Array[String]] = None): DataFrame = {
+                           knownHotHosts: Option[Array[String]] = None,
+                           seenHostClustered: Boolean = false): DataFrame = {
     val canon = canonicalize(rawFrontier)
     // hot-host round cap ON BY DEFAULT, as a two-pass hot split: pass 1
     // counts per host over the RAW frontier (narrow host extract +
@@ -315,6 +319,82 @@ object Scheduler {
           dedupeWithinHostAgg(coldExchanged)
         else dedupeWithinHost(coldExchanged)
       val coldSched = Politeness.schedule(robotsStage(coldDeduped))
+        .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
+        .withColumn("host_hash", Canonical.hostHash(col("host")))
+      finish(hotSched.fold(coldSched)(_.unionByName(coldSched)))
+    } else if (frontierHostClustered && seenHostClustered && cap > 0 &&
+               !seenKeys.isEmpty) {
+      // FUSED SEEN round — the steady-state crawl path at 10^10 URLs.
+      // With BOTH tables stored CLUSTERED BY host (Iceberg
+      // bucket(N, host); Spark bucketed parquet here) the whole round is
+      // exchange-free on the cold leg: the anti-join on
+      // (host, url_key) is co-located (hashpartitioning(host) on both
+      // sides is a subset of the join keys with matching bucket counts —
+      // the classic bucketed-bucketed join), its SMJ sorts are
+      // WITHIN-partition, its output keeps the left side's partitioning,
+      // and the downstream dedupe agg / robots filter / politeness
+      // window are all satisfied by it. Nothing full-frontier crosses
+      // the wire; the 10^10-key seen set never shuffles either.
+      //
+      // Seen-filtering BEFORE dedupe commutes with it: every duplicate
+      // of a canonical_url shares (host, url_key), so either the whole
+      // group is seen (all dropped in both orders) or none is. Joining
+      // on (host, url_key) rather than url_key alone is strictly
+      // stricter under 64-bit collisions (a cross-host collision no
+      // longer false-positives) and identical otherwise. Hot-host
+      // selection still uses RAW frontier counts (or write-time
+      // metrics): seen-filtering only removes rows, and capping a
+      // below-cap host is a no-op — the overcount argument again.
+      require(seenKeys.columns.contains("host"),
+        "seenHostClustered requires a (host, url_key) seen table — " +
+          "write it with saveSeenClustered / checkpointRound")
+      val spark = rawFrontier.sparkSession
+      val hotRows = knownHotHosts
+        .map(_.map(h => org.apache.spark.sql.Row(h, true)))
+        .getOrElse(hotHostSet(rawFrontier, cap).collect())
+      val withHost =
+        if (rawFrontier.columns.contains("host")) rawFrontier
+        else rawFrontier.withColumn("host", Canonical.hostOf(col("url")))
+      val keyed = withHost
+        .withColumn("canonical_url", Canonical.canonicalUrl(col("url")))
+        .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
+      // null-SAFE host equality: url_key is total (xxhash64 maps null
+      // canonicals to a constant, never null), so the all-null group's
+      // membership must be decided like the probe path decides it — by
+      // key equality. A plain host join would null-compare and keep a
+      // seen null-host group forever.
+      val seenSide = seenKeys
+        .select(col("host").as("__seen_host"), col("url_key").as("__seen_key"))
+      val fresh = keyed
+        .join(seenSide,
+          col("host") <=> col("__seen_host") && col("url_key") === col("__seen_key"),
+          "left_anti")
+        .drop("url_key")
+      val (hot, cold) =
+        if (hotRows.isEmpty) (None, fresh)
+        else {
+          val hotHosts = spark.createDataFrame(
+            java.util.Arrays.asList(hotRows: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("host",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("__hot",
+                org.apache.spark.sql.types.BooleanType))))
+          val flagged = fresh.join(broadcast(hotHosts), Seq("host"), "left")
+          (Some(flagged.where(col("__hot")).drop("__hot")),
+            flagged.where(col("__hot").isNull).drop("__hot"))
+        }
+      val hotSched = hot.map { h =>
+        val hotKeyed = h
+          .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
+          .withColumn("host_hash", Canonical.hostHash(col("host")))
+        Politeness.schedule(
+          Politeness.capPerHost(robotsStage(dedupeWithinBatch(hotKeyed)), cap))
+      }
+      // cold schema after the drop is exactly the agg-dedupe domain
+      // (url, priority_band, host, canonical_url) — sort-free hash agg,
+      // clustering satisfied by the scan
+      val coldSched = Politeness.schedule(robotsStage(dedupeWithinHostAgg(cold)))
         .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
         .withColumn("host_hash", Canonical.hostHash(col("host")))
       finish(hotSched.fold(coldSched)(_.unionByName(coldSched)))
@@ -429,8 +509,40 @@ object Scheduler {
       .repartitionByRange(col("priority_band"), col("host_hash"))
       .sortWithinPartitions("priority_band", "host_hash", "scheduled_ms", "canonical_url")
       .write.mode("overwrite").parquet(s"$outDir/rounds/round=$round")
-    batches.select("url_key").distinct()
+    // (host, url_key) so the seen set can also be stored host-clustered
+    // (saveSeenClustered) and feed the fused zero-exchange seen round;
+    // url_key-only consumers (bloom build, exact confirm) just ignore
+    // the extra column
+    batches.select("host", "url_key").distinct()
       .write.mode("overwrite").parquet(s"$outDir/seen/round=$round")
+  }
+
+  /** Write a (host, url_key) seen snapshot as a host-clustered table
+    * (Spark bucketed parquet standing in for an Iceberg
+    * `bucket(buckets, host)` partition transform) — the storage layout
+    * [[runRound]]'s `seenHostClustered = true` fused path joins against
+    * with ZERO exchanges. Bucket count must match the frontier table's.
+    */
+  def saveSeenClustered(seen: DataFrame, path: String, buckets: Int = 64): Unit = {
+    val spark = seen.sparkSession
+    spark.sql("DROP TABLE IF EXISTS graft_seen_write")
+    seen.select(col("host"), col("url_key")).distinct()
+      .repartition(buckets, col("host"))
+      .write.mode("overwrite").bucketBy(buckets, "host")
+      .option("path", path).saveAsTable("graft_seen_write")
+  }
+
+  /** Register + scan a [[saveSeenClustered]] table so the scan reports
+    * hashpartitioning(host) to the planner.
+    */
+  def loadSeenClustered(spark: SparkSession, path: String,
+                        buckets: Int = 64): DataFrame = {
+    val tbl = s"graft_seen_c${math.abs(path.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (host STRING, url_key BIGINT) " +
+      s"USING parquet CLUSTERED BY (host) INTO $buckets BUCKETS " +
+      s"LOCATION '$path'")
+    spark.table(tbl)
   }
 
   /** Resume: union all checkpointed seen keys (empty DataFrame when no

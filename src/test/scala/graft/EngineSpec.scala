@@ -202,6 +202,54 @@ class PolitenessSpec extends AnyFunSuite {
       superset.exceptAll(counted).isEmpty)
   }
 
+  test("fused seen round (both tables host-clustered) == probe path, zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // skewed frontier + a hot host + null-url rows
+    val raw = Synth.frontierSeed(spark, 3000, nHosts = 40).toDF()
+      .select($"url", $"priority_band")
+      .unionByName((1 to 900).toDF("i").select(
+        concat(lit("https://hot.example.test/u/"), $"i").as("url"),
+        lit(0).as("priority_band")))
+      .unionByName(Seq((null.asInstanceOf[String], 2), (null.asInstanceOf[String], 5))
+        .toDF("url", "priority_band"))
+      .withColumn("host", Canonical.hostOf($"url"))
+    // seen set = every other canonical the frontier contains (has host)
+    val seenPlain = Scheduler.canonicalize(raw.drop("host"))
+      .where(xxhash64($"canonical_url") % 2 === 0)
+      .select($"host", $"url_key").distinct()
+    val dir = java.nio.file.Files.createTempDirectory("graft-fused").toString
+    spark.sql("DROP TABLE IF EXISTS graft_test_fused_frontier")
+    raw.repartition(4, $"host").write.mode("overwrite").bucketBy(4, "host")
+      .option("path", s"$dir/frontier").saveAsTable("graft_test_fused_frontier")
+    Scheduler.saveSeenClustered(seenPlain, s"$dir/seen", buckets = 4)
+    val table = spark.table("graft_test_fused_frontier")
+    val seenTable = Scheduler.loadSeenClustered(spark, s"$dir/seen", buckets = 4)
+    val robots = Synth.robots(spark, 40).toDF()
+    val cols = Seq("canonical_url", "host_seq", "scheduled_ms", "batch_id")
+    val fused = Scheduler.runRound(table, seenTable, robots,
+        maxPerHostPerRound = 500, frontierHostClustered = true,
+        seenHostClustered = true)
+      .select(cols.map(col): _*)
+    val probe = Scheduler.runRound(raw, seenPlain, robots,
+        maxPerHostPerRound = 500)
+      .select(cols.map(col): _*)
+    assert(fused.exceptAll(probe).isEmpty && probe.exceptAll(fused).isEmpty)
+    // cold-leg plan: with a high cap (no hot host) and AQE off, the
+    // fused round over two host-clustered tables must plan ZERO shuffle
+    // exchanges — the anti-join, dedupe agg and politeness window are
+    // all satisfied by the storage layout
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val nEx = Scheduler.runRound(table, seenTable, robots,
+          maxPerHostPerRound = 100000, frontierHostClustered = true,
+          seenHostClustered = true)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }.size
+      assert(nEx == 0, s"expected zero exchanges, got $nEx")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("robotsBroadcast refuses a table past the size guard") {
     val robots = Synth.robots(spark, 50).toDF()
     val e = intercept[IllegalArgumentException] {
