@@ -168,7 +168,7 @@ object Scheduler {
     // either holds only null canonicals or none.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("host")
       .orderBy(col("canonical_url").asc, col("priority_band").asc, col("url").asc)
-    val surr = coalesce(col("canonical_url"), lit(" "))
+    val surr = coalesce(col("canonical_url"), lit("\u0000"))
     canonical
       .withColumn("__dup", lag(surr, 1).over(w) === surr)
       .where(col("__dup").isNull || !col("__dup")).drop("__dup")
