@@ -399,6 +399,42 @@ object SparkEntry {
       fused.unionAll(probe.exceptAll(fused)).unionAll(fused.exceptAll(probe))
     }),
 
+    // Incremental seen growth: round 1's keys are SAVED as the
+    // clustered table, round 2's delta is APPENDED in place
+    // (appendSeenClustered — O(delta) write, the Iceberg
+    // snapshot-append analogue), and the fused zero-exchange round
+    // over the appended table must equal both the probe path over the
+    // plain union and the oracle's NOT EXISTS over the same membership.
+    // Seen halves are canonical-equality-defined (the q66 parity trick)
+    // so DuckDB can recompute them: %4==0 saved, %4==1 appended.
+    "q70_seen_append_round" -> ((s, dir) => {
+      val robots = derivedRobots(s, dir)
+      val withHost = derivedFrontier(s, dir)
+        .withColumn("host", Canonical.hostOf(col("url")))
+      def quarter(r: Int) = Scheduler.canonicalize(
+        ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(4)) === r)
+          .select(frontierUrl.as("url"),
+            pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band")))
+        .select(col("host"), col("url_key")).distinct()
+      val base = s"/tmp/graft-q70/${new java.io.File(dir).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      s.sql("DROP TABLE IF EXISTS graft_q70_frontier")
+      withHost.repartition(8, col("host"))
+        .write.mode("overwrite").bucketBy(8, "host")
+        .option("path", s"$base/frontier").saveAsTable("graft_q70_frontier")
+      Scheduler.saveSeenClustered(quarter(0), s"$base/seen", buckets = 8)
+      Scheduler.appendSeenClustered(quarter(1), s"$base/seen", buckets = 8)
+      def sel(df: DataFrame) = df.select(col("canonical_url"), col("host"),
+        col("host_seq"), col("scheduled_ms").cast("long").as("scheduled_ms"))
+      val fused = sel(Scheduler.runRound(s.table("graft_q70_frontier"),
+        Scheduler.loadSeenClustered(s, s"$base/seen", buckets = 8), robots,
+        maxPerHostPerRound = 40,
+        frontierHostClustered = true, seenHostClustered = true))
+      val probe = sel(Scheduler.runRound(withHost,
+        quarter(0).unionByName(quarter(1)), robots, maxPerHostPerRound = 40))
+      fused.unionAll(probe.exceptAll(fused)).unionAll(fused.exceptAll(probe))
+    }),
+
     // Checkpoint/resume end-to-end (north rule "resumable from an
     // Iceberg snapshot checkpoint"; parquet round dirs stand in): round
     // 1 schedules HALF the frontier and checkpoints (batch parquet +
@@ -1526,6 +1562,36 @@ object SparkEntry {
       s"""$dedupedCte,
          |seen AS (
          |  SELECT DISTINCT canonical_url FROM f WHERE o_orderkey % 2 = 0
+         |),
+         |fresh AS (
+         |  SELECT d.* FROM d
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.canonical_url = d.canonical_url)
+         |),
+         |pol AS (
+         |  SELECT fresh.*, 250 * (1 + hn % 4) AS crawl_delay_ms
+         |  FROM fresh
+         |  WHERE NOT (hn % 7 = 0 AND path LIKE '/p/1%')
+         |),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT pol.*, row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) AS crn
+         |    FROM pol
+         |  ) WHERE crn <= 40
+         |),
+         |sched AS (
+         |  SELECT canonical_url, host,
+         |    CAST(row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) AS BIGINT) AS host_seq,
+         |    CAST((row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) - 1) * crawl_delay_ms AS BIGINT) AS scheduled_ms
+         |  FROM capped
+         |)
+         |SELECT canonical_url, host, host_seq, scheduled_ms FROM sched""".stripMargin,
+
+    // incremental seen append: membership = the %4==0 quarter (saved)
+    // plus the %4==1 quarter (appended); rest identical to q69
+    "q70_seen_append_round" ->
+      s"""$dedupedCte,
+         |seen AS (
+         |  SELECT DISTINCT canonical_url FROM f WHERE o_orderkey % 4 IN (0, 1)
          |),
          |fresh AS (
          |  SELECT d.* FROM d

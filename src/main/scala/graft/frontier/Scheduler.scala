@@ -532,6 +532,34 @@ object Scheduler {
       .option("path", path).saveAsTable("graft_seen_write")
   }
 
+  /** Append a round's newly-seen `(host, url_key)` keys to an existing
+    * [[saveSeenClustered]] table WITHOUT rewriting it — each appended
+    * file still belongs to exactly one host bucket, so the scan keeps
+    * reporting hashpartitioning(host) (Spark coalesces all files of a
+    * bucket into one scan partition) and the fused zero-exchange round
+    * is undisturbed. This is the steady-state write at 10^10 keys:
+    * O(new keys this round), not O(seen set) — the Iceberg analogue is
+    * a snapshot append to the `bucket(N, host)` partitioning. Appending
+    * a key that is already present just duplicates a seen row, which a
+    * left-anti join ignores; re-run [[saveSeenClustered]] occasionally
+    * as compaction if scan cost matters. Creates the table when absent.
+    */
+  def appendSeenClustered(seen: DataFrame, path: String, buckets: Int = 64): Unit = {
+    val spark = seen.sparkSession
+    if (!new java.io.File(path).exists)
+      saveSeenClustered(seen, path, buckets)
+    else {
+      // write through the registered table identity so saveAsTable
+      // validates the bucket spec instead of clobbering it
+      val tbl = s"graft_seen_c${math.abs(path.hashCode)}"
+      if (!spark.catalog.tableExists(tbl)) loadSeenClustered(spark, path, buckets)
+      seen.select(col("host"), col("url_key")).distinct()
+        .repartition(buckets, col("host"))
+        .write.mode("append").bucketBy(buckets, "host")
+        .option("path", path).saveAsTable(tbl)
+    }
+  }
+
   /** Register + scan a [[saveSeenClustered]] table so the scan reports
     * hashpartitioning(host) to the planner.
     */

@@ -250,6 +250,49 @@ class PolitenessSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("appendSeenClustered grows the seen table in place, fused round stays zero-exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val raw = Synth.frontierSeed(spark, 2500, nHosts = 30).toDF()
+      .select($"url", $"priority_band")
+      .withColumn("host", Canonical.hostOf($"url"))
+    val canon = Scheduler.canonicalize(raw.drop("host"))
+    // round-1 seen = xxhash%3==0 third; round-2 delta = %3==1 third
+    val seen1 = canon.where(xxhash64($"canonical_url") % 3 === 0)
+      .select($"host", $"url_key").distinct()
+    val delta = canon.where(xxhash64($"canonical_url") % 3 === 1)
+      .select($"host", $"url_key").distinct()
+    val dir = java.nio.file.Files.createTempDirectory("graft-append").toString
+    spark.sql("DROP TABLE IF EXISTS graft_test_append_frontier")
+    raw.repartition(4, $"host").write.mode("overwrite").bucketBy(4, "host")
+      .option("path", s"$dir/frontier").saveAsTable("graft_test_append_frontier")
+    Scheduler.saveSeenClustered(seen1, s"$dir/seen", buckets = 4)
+    // append includes some already-seen keys (overlap is harmless dupes)
+    Scheduler.appendSeenClustered(delta.unionByName(seen1.limit(50)),
+      s"$dir/seen", buckets = 4)
+    val table = spark.table("graft_test_append_frontier")
+    val seenTable = Scheduler.loadSeenClustered(spark, s"$dir/seen", buckets = 4)
+    val robots = Synth.robots(spark, 30).toDF()
+    val cols = Seq("canonical_url", "host_seq", "scheduled_ms", "batch_id")
+    val fused = Scheduler.runRound(table, seenTable, robots,
+        maxPerHostPerRound = 500, frontierHostClustered = true,
+        seenHostClustered = true)
+      .select(cols.map(col): _*)
+    val probe = Scheduler.runRound(raw, seen1.unionByName(delta),
+        robots, maxPerHostPerRound = 500)
+      .select(cols.map(col): _*)
+    assert(fused.exceptAll(probe).isEmpty && probe.exceptAll(fused).isEmpty)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val nEx = Scheduler.runRound(table, seenTable, robots,
+          maxPerHostPerRound = 100000, frontierHostClustered = true,
+          seenHostClustered = true)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }.size
+      assert(nEx == 0, s"append broke bucketed co-location: $nEx exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("robotsBroadcast refuses a table past the size guard") {
     val robots = Synth.robots(spark, 50).toDF()
     val e = intercept[IllegalArgumentException] {
