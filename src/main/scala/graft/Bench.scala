@@ -678,7 +678,13 @@ object Bench {
       // pair (quiet c4 rounds 5.9-7.3 s).
       val disturbed = trials.isEmpty || trials.exists(_.steal > 10.0) ||
         probeSec > 2.7 || (highSecs.nonEmpty && highSecs.min > 11.0)
+      // non-heavy queries run NEWEST-first: the suite drops its tail
+      // when the budget runs out, and the highest-numbered queries are
+      // the ones with the least (or zero) timing history — r04.e ran
+      // oldest-first and sacrificed brand-new q70 while re-timing
+      // sub-second q0x queries that already had three rounds of history
       val rest = allQueries.filterNot(q => probeSet.contains(q._1))
+        .sortBy { case (n, _) => -n.drop(1).takeWhile(_.isDigit).toInt }
       val suite =
         if (disturbed) rest.filterNot(q => heavy.contains(q._1)) ++
           rest.filter(q => heavy.contains(q._1))
