@@ -354,12 +354,16 @@ object SparkEntry {
       val robots = derivedRobots(s, dir)
       def sel(df: DataFrame) = df.select(col("canonical_url"), col("host"),
         col("host_seq"), col("scheduled_ms").cast("long").as("scheduled_ms"))
+      // both sides persist: the diff pattern below scans each side ~3x,
+      // and a capped round is far more expensive than its few-k-row
+      // output (ContextCleaner reclaims the cache once the gate drops
+      // its reference)
       val counted = sel(Scheduler.runRound(frontier,
-        Scheduler.loadSeen(s, "/tmp/none"), robots, maxPerHostPerRound = 40))
+        Scheduler.loadSeen(s, "/tmp/none"), robots, maxPerHostPerRound = 40)).persist()
       val metrics = Scheduler.hotHosts(frontier, maxPerHostPerRound = 40)
       val fed = sel(Scheduler.runRound(frontier,
         Scheduler.loadSeen(s, "/tmp/none"), robots, maxPerHostPerRound = 40,
-        knownHotHosts = Some(metrics ++ Array("notinfrontier.example.test"))))
+        knownHotHosts = Some(metrics ++ Array("notinfrontier.example.test")))).persist()
       counted.unionAll(fed.exceptAll(counted)).unionAll(counted.exceptAll(fed))
     }),
 
@@ -393,9 +397,9 @@ object SparkEntry {
       val fused = sel(Scheduler.runRound(s.table("graft_q69_frontier"),
         Scheduler.loadSeenClustered(s, s"$base/seen", buckets = 8), robots,
         maxPerHostPerRound = 40,
-        frontierHostClustered = true, seenHostClustered = true))
+        frontierHostClustered = true, seenHostClustered = true)).persist()
       val probe = sel(Scheduler.runRound(withHost, seenDf, robots,
-        maxPerHostPerRound = 40))
+        maxPerHostPerRound = 40)).persist()
       fused.unionAll(probe.exceptAll(fused)).unionAll(fused.exceptAll(probe))
     }),
 
@@ -429,9 +433,9 @@ object SparkEntry {
       val fused = sel(Scheduler.runRound(s.table("graft_q70_frontier"),
         Scheduler.loadSeenClustered(s, s"$base/seen", buckets = 8), robots,
         maxPerHostPerRound = 40,
-        frontierHostClustered = true, seenHostClustered = true))
+        frontierHostClustered = true, seenHostClustered = true)).persist()
       val probe = sel(Scheduler.runRound(withHost,
-        quarter(0).unionByName(quarter(1)), robots, maxPerHostPerRound = 40))
+        quarter(0).unionByName(quarter(1)), robots, maxPerHostPerRound = 40)).persist()
       fused.unionAll(probe.exceptAll(fused)).unionAll(fused.exceptAll(probe))
     }),
 
@@ -965,8 +969,8 @@ object SparkEntry {
       def run(maxBc: Long) = graft.frontier.Robots
         .applyRawRobots(withPath, bodies, "graftbot/1.0", 1000L, maxBroadcastBytes = maxBc)
         .select(col("canonical_url"), col("host"), col("crawl_delay_ms"))
-      val bcast = run(256L << 20)
-      val dist = run(0L)
+      val bcast = run(256L << 20).persist()
+      val dist = run(0L).persist()
       bcast.unionAll(dist.exceptAll(bcast)).unionAll(bcast.exceptAll(dist))
     }),
 
