@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked mains write DIRECTLY to this process's stdout/stderr instead of
+// through sbt's logger: the logger prefixes every stdout line with
+// "[info] ", and the driver parses graft.Bench's single JSON line out of
+// a raw ~2000-char output tail — "[info] {...}" is not a JSON line
+// (BENCH_r02.json shows exactly that prefixed line with "parsed": null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

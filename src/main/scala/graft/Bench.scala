@@ -239,11 +239,8 @@ object Bench {
     def setErr(n: String, m: String): Unit = stateLock.synchronized { queryErrors(n) = m }
     def clearErr(n: String): Unit = stateLock.synchronized { queryErrors.remove(n); () }
 
-    def render(): String = stateLock.synchronized {
-      val totalSec = queries.values.sum
-      val qs = queries.map { case (k, v) => s"${jstr(k)}:${f(v)}" }.mkString("{", ",", "}")
-      val errs = queryErrors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-        .mkString("{", ",", "}")
+    // scaling summary shared by both renders
+    def scalingJson(): (Double, Double, String) = {
       val lows = trials.filter(_.cores == scaleLow).map(_.sec)
       val highs = trials.filter(_.cores == scaleHigh).map(_.sec)
       // Asymmetric robust estimators, matched to the two measured
@@ -268,6 +265,30 @@ object Bench {
       // capped at 1.0 (a still-disturbed round on one side can push the
       // raw ratio past ideal)
       val efficiency = math.min(1.0, tLow / (ratio * tHigh))
+      val core =
+        s""""scaling":{"cores_low":$scaleLow,"cores_high":$scaleHigh,""" +
+          s""""n":$frontierN,"sec_low":${f(tLow)},"sec_high":${f(tHigh)},""" +
+          s""""urls_per_sec_low":${f(frontierN / tLow)},"urls_per_sec_high":${f(frontierN / tHigh)},""" +
+          s""""efficiency":${f(efficiency)},"rounds_low":${lows.size},"rounds_high":${highs.size}"""
+      (tLow, tHigh, core)
+    }
+    def headlineJson(tHigh: Double): String =
+      s""""headline":{"frontier_urls":$frontierN,"urls_scheduled":$scheduled,""" +
+        s""""cores_exec":$scaleHigh,"sec_exec":${f(tHigh)},""" +
+        s""""urls_scheduled_per_sec":${f(frontierN / tHigh)},""" +
+        s""""records_verified":$nRecords,"records_verified_per_sec":${f(recordsPerSec)}}"""
+
+    /** Full-fidelity render: full query names, every raw trial, phase
+      * milestones, untruncated errors. Written to BENCH_DETAIL.json in
+      * the repo root (also the process cwd under sbt), NOT printed — the
+      * stdout tail must stay small (see renderCompact).
+      */
+    def renderDetail(): String = stateLock.synchronized {
+      val totalSec = queries.values.sum
+      val qs = queries.map { case (k, v) => s"${jstr(k)}:${f(v)}" }.mkString("{", ",", "}")
+      val errs = queryErrors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
+      val (_, tHigh, scalingCore) = scalingJson()
       val trialsJson = trials.map { t =>
         s"""{"cores":${t.cores},"round":${t.round},"sec":${f(t.sec)},""" +
           s""""loadavg":${f(t.load)},"steal_sec":${f(t.steal)}}"""
@@ -275,18 +296,47 @@ object Bench {
       s"""{"metric":"total","value":${f(totalSec)},"unit":"sec","queries":$qs,""" +
         s""""query_errors":$errs,"skipped_queries":${allQueries.size - queries.size},""" +
         s""""sf":${jstr(sfDir)},""" +
-        s""""headline":{"frontier_urls":$frontierN,"urls_scheduled":$scheduled,""" +
-        s""""cores_exec":$scaleHigh,"sec_exec":${f(tHigh)},""" +
-        s""""urls_scheduled_per_sec":${f(frontierN / tHigh)},""" +
-        s""""records_verified":$nRecords,"records_verified_per_sec":${f(recordsPerSec)}},""" +
-        s""""scaling":{"cores_low":$scaleLow,"cores_high":$scaleHigh,""" +
-        s""""n":$frontierN,"sec_low":${f(tLow)},"sec_high":${f(tHigh)},""" +
-        s""""urls_per_sec_low":${f(frontierN / tLow)},"urls_per_sec_high":${f(frontierN / tHigh)},""" +
-        s""""efficiency":${f(efficiency)},"rounds_low":${lows.size},"rounds_high":${highs.size},""" +
-        s""""trials":$trialsJson},""" +
+        headlineJson(tHigh) + "," +
+        scalingCore + s""","trials":$trialsJson},""" +
         s""""milestones":${milestones.map { case (k, v) => s"${jstr(k)}:${f(v)}" }
           .mkString("{", ",", "}")},""" +
         s""""budget_sec":${f(budgetSec)},"elapsed_sec":${f(elapsed)}}"""
+    }
+
+    /** The ONE stdout JSON line. HARD SIZE CONSTRAINT: the driver
+      * captures only the last ~2000 characters of the sbt output and
+      * parses the JSON line out of THAT — r01/r02/r03 all shipped a
+      * ~3.8k-char line and every round's artifact reads `"parsed": null`
+      * (the line survived only as a front-truncated "tail" string). So:
+      * query keys are the bare "qNN" prefix (the full names are stable
+      * and listed in BENCH.md + BENCH_DETAIL.json), values get 2
+      * decimals, trials/milestones live only in the detail file, error
+      * strings are clipped, and a final guard drops the error map to a
+      * count if the line still exceeds the budget. 70 queries ≈ 900
+      * chars + ~550 fixed ≈ 1450, safely under 2000 minus sbt's
+      * trailing "[success] ..." line.
+      */
+    def renderCompact(): String = stateLock.synchronized {
+      val totalSec = queries.values.sum
+      def short(n: String) = n.takeWhile(_ != '_')
+      def f2(d: Double) =
+        if (d.isNaN || d.isInfinite) "null"
+        else "%.2f".formatLocal(java.util.Locale.US, d)
+      val qs = queries.map { case (k, v) => s"${jstr(short(k))}:${f2(v)}" }
+        .mkString("{", ",", "}")
+      val errsFull = queryErrors.map { case (k, v) =>
+        s"${jstr(short(k))}:${jstr(v.take(60))}"
+      }.mkString("{", ",", "}")
+      val errs = if (errsFull.length <= 300) errsFull
+        else s"""{"n":${queryErrors.size},"see":"BENCH_DETAIL.json"}"""
+      val (_, tHigh, scalingCore) = scalingJson()
+      s"""{"metric":"total","value":${f2(totalSec)},"unit":"sec","queries":$qs,""" +
+        s""""query_errors":$errs,"skipped_queries":${allQueries.size - queries.size},""" +
+        s""""sf":${jstr(sfDir)},""" +
+        headlineJson(tHigh) + "," +
+        scalingCore + "}," +
+        s""""detail":"BENCH_DETAIL.json",""" +
+        s""""budget_sec":${f2(budgetSec)},"elapsed_sec":${f2(elapsed)}}"""
     }
 
     @volatile var printed = false
@@ -297,12 +347,17 @@ object Bench {
         // and never retry — the JSON line (the whole round's evidence)
         // would be forfeited
         val line =
-          try render()
+          try renderCompact()
           catch {
             case e: Throwable =>
               s"""{"metric":"total","value":0,"unit":"sec","queries":{},""" +
                 s""""render_error":${jstr(String.valueOf(e).take(200))},"sf":${jstr(sfDir)}}"""
           }
+        // full-fidelity twin to a FILE (never stdout — it would push the
+        // compact line out of the driver's 2000-char tail window)
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_DETAIL.json"), renderDetail() + "\n")
+        catch { case _: Throwable => () }
         println(line)
         printed = true
       }
@@ -600,6 +655,12 @@ object Bench {
             .toDF().agg(count(lit(1))).head()
         }
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
+        // ensure the split-gate archive fixtures exist NOW (build-once
+        // behind .ok markers — normally already on disk, so this is a
+        // stat): if /tmp was cleared, the ~30 s build lands in this
+        // untimed window instead of inside q61/q67's suite timing
+        SparkEntry.splitGateFixture(spark, sfDir, "gzip")
+        SparkEntry.splitGateFixture(spark, sfDir, "zstd")
       } catch { case e: Exception =>
         setErr("suite_warmup", e.getMessage.take(300))
       }
@@ -736,10 +797,12 @@ object Bench {
       //    never-timed ones (the artifact gap r03's verdict flagged:
       //    q53-q60 never driver-timed in any round) outrank historied
       //    ones within the heavy set.
+      // expected idle-warm seconds (fixture-cached q61/q67 no longer pay
+      // the archive build; q64 writes the 1/3-subset tree)
       val heavyCost = Map(
-        "q59_warc_to_images" -> 8.0, "q61_warc_split" -> 12.0,
+        "q59_warc_to_images" -> 8.0, "q61_warc_split" -> 9.0,
         "q64_extract_tree" -> 20.0, "q66_checkpoint_resume" -> 11.0,
-        "q67_warc_zstd_split" -> 9.0, "q69_fused_seen_round" -> 13.0,
+        "q67_warc_zstd_split" -> 7.0, "q69_fused_seen_round" -> 13.0,
         "q70_seen_append_round" -> 21.0)
       val heavy = heavyCost.keySet
       mark("suite_start")
