@@ -802,7 +802,7 @@ object Bench {
       val heavyCost = Map(
         "q59_warc_to_images" -> 8.0, "q61_warc_split" -> 9.0,
         "q64_extract_tree" -> 20.0, "q66_checkpoint_resume" -> 11.0,
-        "q67_warc_zstd_split" -> 7.0, "q69_fused_seen_round" -> 13.0,
+        "q67_warc_zstd_split" -> 5.0, "q69_fused_seen_round" -> 13.0,
         "q70_seen_append_round" -> 21.0)
       val heavy = heavyCost.keySet
       mark("suite_start")

@@ -227,16 +227,7 @@ object WarcBytes {
           require(fsize > 0 && pos + fsize <= bytes.length,
             s"truncated/invalid zstd frame at offset $pos")
           val before = parser.recordsParsed
-          val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
-            new java.io.ByteArrayInputStream(bytes, pos, fsize.toInt))
-          try {
-            zstdDict.foreach(in.setDict)
-            var n = in.read(chunk)
-            while (n >= 0) {
-              if (n > 0) parser.append(chunk, 0, n)
-              n = in.read(chunk)
-            }
-          } finally in.close()
+          decompressZstdFrame(bytes, pos, fsize.toInt, zstdDict, parser, chunk)
           pos += fsize.toInt
           // record-at-time contract: one record per frame, boundary-aligned
           if (!(parser.atRecordBoundary && parser.recordsParsed == before + 1))
@@ -359,6 +350,50 @@ object WarcBytes {
     out.toByteArray
   }
 
+  /** Decompress ONE zstd frame `bytes[pos, pos+fsize)` into `parser`.
+    *
+    * Fast path (no dictionary AND the frame header pledges its content
+    * size — which our record-at-time encoder always does, since
+    * one-shot `ZstdCompressCtx.compress` pledges): a single static JNI
+    * decompress call, no stream objects. A fresh `ZstdInputStream` per
+    * frame costs a native stream-context init plus several JNI
+    * crossings per RECORD, which at one-frame-per-record archives is
+    * the dominant decode cost: the 150k-record q67 bench archive split
+    * 17 s via streams vs ~3 s for the SAME records as gzip members
+    * (whose `inflateMember` reuses one Inflater). Unknown-size,
+    * oversized (>1 GiB pledged — don't trust a corrupt header with an
+    * allocation) and dictionary frames keep the streaming path.
+    */
+  private[sources] def decompressZstdFrame(bytes: Array[Byte], pos: Int,
+      fsize: Int, dict: Option[Array[Byte]], parser: RecordParser,
+      chunk: Array[Byte] = null): Unit = {
+    import com.github.luben.zstd.Zstd
+    val contentSize =
+      if (dict.nonEmpty) -1L
+      else try Zstd.getFrameContentSize(bytes, pos, fsize)
+      catch { case _: RuntimeException => -1L }
+    if (contentSize >= 0 && contentSize <= (1L << 30)) {
+      val dst = new Array[Byte](contentSize.toInt)
+      val n = Zstd.decompressByteArray(dst, 0, dst.length, bytes, pos, fsize)
+      if (n > 0) parser.append(dst, 0, n.toInt)
+    } else {
+      val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+        new java.io.ByteArrayInputStream(bytes, pos, fsize))
+      try {
+        dict.foreach(in.setDict)
+        // the fallback allocates its own buffer only when actually
+        // taken — callers on the fast path must not pay a 64 KiB
+        // allocation per frame
+        val ch = if (chunk != null) chunk else new Array[Byte](65536)
+        var n = in.read(ch)
+        while (n >= 0) {
+          if (n > 0) parser.append(ch, 0, n)
+          n = in.read(ch)
+        }
+      } finally in.close()
+    }
+  }
+
   // ---- record-at-time zstd (one frame per record; dictionary in a
   //      skippable frame, reference src/compress/zstd.rs:13-58) ----
 
@@ -388,14 +423,17 @@ object WarcBytes {
       out.write(le32(payload.length))
       out.write(payload)
     }
-    records.foreach { r =>
-      val ctx = new ZstdCompressCtx()
-      try {
-        ctx.setLevel(level)
-        dict.foreach(ctx.loadDict)
-        out.write(ctx.compress(encodeRecords(Seq(r))))
-      } finally ctx.close()
-    }
+    // ONE native context for the whole batch (level + dict persist
+    // across one-shot compress calls; each call still emits an
+    // independent frame): a fresh ZstdCompressCtx per record paid a
+    // native init per frame, the same per-record JNI tax the decode
+    // side had (see decompressZstdFrame)
+    val ctx = new ZstdCompressCtx()
+    try {
+      ctx.setLevel(level)
+      dict.foreach(ctx.loadDict)
+      records.foreach { r => out.write(ctx.compress(encodeRecords(Seq(r)))) }
+    } finally ctx.close()
     out.toByteArray
   }
 

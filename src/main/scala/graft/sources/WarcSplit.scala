@@ -197,16 +197,11 @@ object WarcSplit {
             if (fsize <= 0 || rel + fsize > buf.length)
               throw new EOFException(
                 s"$file: zstd frame at ${bufStart + rel} runs past buffer")
-            val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
-              new java.io.ByteArrayInputStream(buf, rel, fsize.toInt))
-            try {
-              val chunk = new Array[Byte](65536)
-              var n = in.read(chunk)
-              while (n >= 0) {
-                if (n > 0) parser.append(chunk, 0, n)
-                n = in.read(chunk)
-              }
-            } finally in.close()
+            // one-shot static decompress when the frame pledges its size
+            // (our encoder always does) — a per-frame ZstdInputStream's
+            // native init dominated the split decode (see
+            // WarcBytes.decompressZstdFrame)
+            WarcBytes.decompressZstdFrame(buf, rel, fsize.toInt, None, parser)
             rel + fsize.toInt
           }
         } else WarcBytes.inflateMember(buf, rel0, parser)
