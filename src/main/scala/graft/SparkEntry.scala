@@ -1171,8 +1171,12 @@ object SparkEntry {
       // the REAL filesystem tree writer, whose cost is one create+write
       // syscall pair per record — 150k files took 56-59 s at bench sf and
       // was clipped from three driver-shaped runs; 50k files still
-      // exercises every path feature (7 hosts, conflict ids, conversion/
-      // truncated markers) and times in ~20 s
+      // exercise every path feature (conflict ids, conversion/truncated
+      // markers). 61 hosts, not 7: the writer parallelizes per host
+      // SUBTREE (the conflict-marker semantics are sequential within a
+      // host), so a 7-host fixture capped it at ~7 of 32 cores — a
+      // fixture artifact, not an operator property (real crawls have
+      // 10^4+ hosts)
       val records = ft(s, dir, "orders")
         .where(pmod(k, lit(3)) === 0).select(
         k.as("position"),
@@ -1183,7 +1187,7 @@ object SparkEntry {
             when(pmod(k, lit(17)) === 0, lit("conversion"))
               .otherwise(lit("resource")).as("value")),
           struct(lit("WARC-Target-URI").as("name"),
-            concat(lit("https://h"), pmod(k, lit(7)).cast("string"),
+            concat(lit("https://h"), pmod(k, lit(61)).cast("string"),
               lit(".example.test/f/"), pmod(k, lit(100)).cast("string")).as("value")),
           struct(lit("Content-Type").as("name"), lit("text/plain").as("value")),
           when(pmod(k, lit(11)) === 0,
@@ -2003,7 +2007,7 @@ object SparkEntry {
 
     "q64_extract_tree" ->
       """WITH g AS (
-        |  SELECT 'h' || (o_orderkey%7) || '.example.test' AS host,
+        |  SELECT 'h' || (o_orderkey%61) || '.example.test' AS host,
         |         CAST(o_orderkey%100 AS VARCHAR) AS fname,
         |         (o_orderkey % 17 = 0) AS is_conv,
         |         (o_orderkey % 11 = 0) AS is_trunc,
