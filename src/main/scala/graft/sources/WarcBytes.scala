@@ -360,21 +360,24 @@ object WarcBytes {
     * crossings per RECORD, which at one-frame-per-record archives is
     * the dominant decode cost: the 150k-record q67 bench archive split
     * 17 s via streams vs ~3 s for the SAME records as gzip members
-    * (whose `inflateMember` reuses one Inflater). Unknown-size,
-    * oversized (>1 GiB pledged — don't trust a corrupt header with an
-    * allocation) and dictionary frames keep the streaming path.
+    * (whose `inflateMember` reuses one Inflater). Dictionary frames get
+    * the same one-shot treatment via `decompressUsingDict`. Unknown-size
+    * and oversized (>1 GiB pledged — don't trust a corrupt header with
+    * an allocation) frames keep the streaming path.
     */
   private[sources] def decompressZstdFrame(bytes: Array[Byte], pos: Int,
       fsize: Int, dict: Option[Array[Byte]], parser: RecordParser,
       chunk: Array[Byte] = null): Unit = {
     import com.github.luben.zstd.Zstd
     val contentSize =
-      if (dict.nonEmpty) -1L
-      else try Zstd.getFrameContentSize(bytes, pos, fsize)
+      try Zstd.getFrameContentSize(bytes, pos, fsize)
       catch { case _: RuntimeException => -1L }
     if (contentSize >= 0 && contentSize <= (1L << 30)) {
       val dst = new Array[Byte](contentSize.toInt)
-      val n = Zstd.decompressByteArray(dst, 0, dst.length, bytes, pos, fsize)
+      val n = dict match {
+        case Some(d) => Zstd.decompressUsingDict(dst, 0, bytes, pos, fsize, d)
+        case None => Zstd.decompressByteArray(dst, 0, dst.length, bytes, pos, fsize)
+      }
       if (n > 0) parser.append(dst, 0, n.toInt)
     } else {
       val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(

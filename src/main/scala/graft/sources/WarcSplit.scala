@@ -34,8 +34,12 @@ import java.util.zip.Inflater
   * reference compress.rs:174-196) split the same way: frame magic
   * `28 b5 2f fd` validated by decoding the frame's first plaintext bytes
   * to `WARC/`; mid-file skippable frames are skipped. Archives led by a
-  * skippable DICTIONARY frame are rejected (mid-file tasks cannot decode
-  * dictionaried frames independently) — use [[WarcSource.read]].
+  * skippable DICTIONARY frame (the reference's convention,
+  * compress/zstd.rs:13-58) ARE splittable: the driver reads the head
+  * frame once, ships the dictionary to every task with the split spec,
+  * and each task decodes (and boundary-validates) its frames against it
+  * — the dictionary is crawl-shared state exactly like a robots
+  * broadcast, not a reason to serialize the file.
   *
   * Memory per task: one range buffer (≤ splitBytes + the format's
   * validation tail: 1 KiB gzip, 256 KiB zstd) + one record. Plain files
@@ -91,13 +95,15 @@ object WarcSplit {
     * compressed data, or a dictionary payload inside a skippable frame,
     * fails the decode-prefix check). Insufficient bytes → false.
     */
-  private[graft] def isZstdMemberStart(buf: Array[Byte], i: Int): Boolean =
+  private[graft] def isZstdMemberStart(buf: Array[Byte], i: Int,
+                                       dict: Option[Array[Byte]] = None): Boolean =
     i + 4 <= buf.length &&
       buf(i) == WarcBytes.ZstdMagic(0) && buf(i + 1) == WarcBytes.ZstdMagic(1) &&
       buf(i + 2) == WarcBytes.ZstdMagic(2) && buf(i + 3) == WarcBytes.ZstdMagic(3) && {
         val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
           new java.io.ByteArrayInputStream(buf, i, buf.length - i))
         try {
+          dict.foreach(in.setDict)
           val out = new Array[Byte](5)
           var got = 0
           var n = 0
@@ -114,13 +120,14 @@ object WarcSplit {
     * -1 when none exists in the buffer.
     */
   private[graft] def findMemberStart(buf: Array[Byte], from: Int,
-                                     format: String = "gzip"): Int = {
+                                     format: String = "gzip",
+                                     dict: Option[Array[Byte]] = None): Int = {
     var i = math.max(from, 0)
     if (format == "zstd") {
       while (i + 4 <= buf.length) {
         if (buf(i) == WarcBytes.ZstdMagic(0) && buf(i + 1) == WarcBytes.ZstdMagic(1) &&
           buf(i + 2) == WarcBytes.ZstdMagic(2) && buf(i + 3) == WarcBytes.ZstdMagic(3) &&
-          isZstdMemberStart(buf, i)) return i
+          isZstdMemberStart(buf, i, dict)) return i
         i += 1
       }
     } else {
@@ -142,21 +149,31 @@ object WarcSplit {
   private[graft] def decodeRange(readRange: (Long, Int) => Array[Byte], fileLen: Long,
                                    start: Long, end: Long, file: String,
                                    maxRecordBytes: Int = 64 << 20,
-                                   format: String = "gzip"): Iterator[WarcRecord] = {
-    if (start >= fileLen) return Iterator.empty
+                                   format: String = "gzip",
+                                   dict: Option[Array[Byte]] = None,
+                                   contentStart: Long = 0L): Iterator[WarcRecord] = {
+    // ranges are laid out over the whole file; content begins after any
+    // leading dictionary frame, so a task whose range starts earlier
+    // clamps (a range entirely inside the head frame owns nothing)
+    val startC = math.max(start, contentStart)
+    if (startC >= fileLen || startC >= end) return Iterator.empty
     val endB = math.min(end, fileLen)
-    var bufStart = start
-    var buf = readRange(start,
-      (math.min(endB + tailFor(format), fileLen) - start).toInt)
+    var bufStart = startC
+    var buf = readRange(startC,
+      (math.min(endB + tailFor(format), fileLen) - startC).toInt)
 
     val first =
-      if (start == 0L) {
+      if (start == 0L && contentStart == 0L) {
         require(buf.length >= 2 && WarcBytes.detectFormat(buf) == format,
           s"$file: head magic is not $format (use WarcSource.read)")
         0L
+      } else if (startC == contentStart && startC > start) {
+        // first content byte: trust the driver's head-frame parse — the
+        // first member starts exactly here (validated on decode anyway)
+        startC
       } else {
-        val rel = findMemberStart(buf, 0, format)
-        if (rel < 0 || start + rel >= endB) -1L else start + rel
+        val rel = findMemberStart(buf, 0, format, dict)
+        if (rel < 0 || startC + rel >= endB) -1L else startC + rel
       }
 
     new Iterator[WarcRecord] {
@@ -171,9 +188,9 @@ object WarcSplit {
       private def decodeOneMember(rel0: Int, parser: WarcBytes.RecordParser): Int =
         if (format == "zstd") {
           var rel = rel0
-          // mid-stream skippable frames carry no records: skip them (a
-          // LEADING dictionary frame is rejected by readSplit — member
-          // frames of a dictionaried archive cannot decode independently)
+          // mid-stream skippable frames carry no records: skip them (the
+          // LEADING dictionary frame was parsed by readSplit and sits
+          // before contentStart, so no task ever decodes through it)
           while (rel + 8 <= buf.length &&
                  (WarcBytes.readLe32(buf, rel) & 0xfffffff0) == 0x184d2a50) {
             val skipLen = WarcBytes.readLe32(buf, rel + 4) & 0xffffffffL
@@ -201,7 +218,7 @@ object WarcSplit {
             // (our encoder always does) — a per-frame ZstdInputStream's
             // native init dominated the split decode (see
             // WarcBytes.decompressZstdFrame)
-            WarcBytes.decompressZstdFrame(buf, rel, fsize.toInt, None, parser)
+            WarcBytes.decompressZstdFrame(buf, rel, fsize.toInt, dict, parser)
             rel + fsize.toInt
           }
         } else WarcBytes.inflateMember(buf, rel0, parser)
@@ -266,27 +283,40 @@ object WarcSplit {
     val fileLen = fs.getFileStatus(path).getLen
     // one 8-byte head read classifies the archive: record-at-time gzip
     // and zstd are both splittable (member/frame starts are record
-    // boundaries); a zstd archive LED by a skippable frame (the
-    // dictionary convention) is not — mid-file tasks cannot decode
-    // dictionaried frames independently — so reject it loudly
-    val head = {
-      val a = new Array[Byte](math.min(8L, fileLen).toInt)
+    // boundaries). A zstd archive LED by the skippable dictionary frame
+    // (compress/zstd.rs:13-58) is splittable too: parse the head frame
+    // ONCE here, ship the dictionary with the split spec (it rides the
+    // task closure the way a robots map rides a broadcast — shared
+    // crawl state, read once, used by every task).
+    def readAt(off: Long, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
       val in = fs.open(path)
-      try in.readFully(a) finally in.close()
+      try { in.seek(off); in.readFully(a) } finally in.close()
       a
     }
+    val head = readAt(0L, math.min(8L, fileLen).toInt)
     val format = WarcBytes.detectFormat(head) match {
       case "gzip" => "gzip"
-      case "zstd" =>
-        require(head.length < 8 ||
-          (WarcBytes.readLe32(head, 0) & 0xfffffff0) != 0x184d2a50,
-          s"$file: zstd WARC with a leading skippable/dictionary frame " +
-            "is not splittable — use WarcSource.read")
-        "zstd"
+      case "zstd" => "zstd"
       case other => throw new IllegalArgumentException(
         s"$file: format $other is not record-at-time splittable " +
           "(use WarcSource.read)")
     }
+    val (dict, contentStart) =
+      if (format == "zstd" && head.length >= 8 &&
+          (WarcBytes.readLe32(head, 0) & 0xfffffff0) == 0x184d2a50) {
+        // unsigned size; a non-dictionary leading skippable yields
+        // (None, its end) — content simply starts after it
+        val frameLen = WarcBytes.readLe32(head, 4) & 0xffffffffL
+        require(8 + frameLen <= fileLen,
+          s"$file: truncated leading skippable frame")
+        require(frameLen <= maxRecordBytes,
+          s"$file: leading skippable frame of $frameLen bytes exceeds " +
+            s"maxRecordBytes=$maxRecordBytes")
+        val frame = readAt(0L, (8 + frameLen).toInt)
+        val (d, start) = WarcBytes.zstdDictFrame(frame)
+        (d, if (start > 0) start.toLong else 8L + frameLen)
+      } else (None, 0L)
     val nSplits = math.max(1L, (fileLen + splitBytes - 1) / splitBytes).toInt
     val fileStr = path.toString
     val rdd = spark.sparkContext
@@ -303,7 +333,8 @@ object WarcSplit {
           a
         }
         decodeRange(readRange, fileLen, i * splitBytes,
-          math.min((i + 1L) * splitBytes, fileLen), fileStr, maxRecordBytes, format)
+          math.min((i + 1L) * splitBytes, fileLen), fileStr, maxRecordBytes,
+          format, dict, contentStart)
       }
     spark.createDataset(rdd)
   }

@@ -132,13 +132,40 @@ class WarcSplitSpec extends AnyFunSuite {
     WarcSource.writeSingleFile(spark.createDataset(records), file, "zstd")
     val got = WarcSplit.readSplit(spark, file, splitBytes = 3000L).collect()
     assert(got.map(key).sorted.toSeq == records.map(key).sorted)
-    // an archive led by the dictionary skippable frame must be rejected
-    val dictFile = s"$tmp/dict.warc.zst"
-    val dictBytes = WarcBytes.encodeZstd(records.take(3),
-      dict = Some("common prefix dictionary bytes".getBytes("UTF-8")))
-    java.nio.file.Files.write(java.nio.file.Paths.get(dictFile), dictBytes)
-    val e = intercept[Exception] { WarcSplit.readSplit(spark, dictFile, 1000L) }
-    assert(e.getMessage.contains("not splittable"))
+  }
+
+  test("zstd: dictionaried archive splits — dict parsed once, shipped to tasks") {
+    // frames compressed against a raw content dictionary do NOT decode
+    // without it (the window references dictionary bytes), so split ==
+    // whole equality proves the head-frame dictionary actually reaches
+    // every range task — including ones whose range starts mid-file
+    val records = Synth.warcRecords(round = 8, n = 40)
+    val dictBytes = ("shared WARC prefix material " * 40).getBytes("UTF-8")
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-split-zdict").toString
+    for ((compressDict, name) <- Seq(false -> "plain.warc.zst",
+                                     true -> "cdict.warc.zst")) {
+      val file = s"$tmp/$name"
+      val bytes = WarcBytes.encodeZstd(records, dict = Some(dictBytes),
+        compressDict = compressDict)
+      java.nio.file.Files.write(java.nio.file.Paths.get(file), bytes)
+      val whole = WarcBytes.decodeZstd(bytes, file).map(key).sorted
+      assert(whole == records.map(key).sorted)
+      val fileLen = bytes.length.toLong
+      for (splitBytes <- Seq(1000L, fileLen / 3, fileLen * 2)) {
+        val ds = WarcSplit.readSplit(spark, file, splitBytes)
+        val nTasks = ds.select(spark_partition_id()).distinct().count()
+        val got = ds.collect()
+        assert(got.map(key).sorted.toSeq == whole,
+          s"$name splitBytes=$splitBytes")
+        if (splitBytes < fileLen)
+          assert(nTasks > 1, s"$name splitBytes=$splitBytes: one task")
+        // positions are distinct compressed offsets past the dict frame
+        val pos = got.map(_.position).sorted
+        assert(pos.distinct.length == pos.length)
+        assert(pos.head > 0, "first member must start after the dict frame")
+      }
+    }
   }
 
   test("zstd: boundary scan ignores frame magic inside compressed data and skippable frames") {
