@@ -147,7 +147,13 @@ object WarcBytes {
     * exactly one record ending on a member boundary. Plain files are
     * trivially ok; the zstd path streams across frames and is not checked.
     */
-  final class WarcFileDecoder(bytes: Array[Byte], file: String)
+  /** `presetDict`: a zstd dictionary obtained OUT of band (e.g. the
+    * archive's head frame parsed by a caller decoding from a mid-file
+    * offset, where the leading dictionary frame is not in `bytes`). A
+    * dictionary frame found in-band takes precedence.
+    */
+  final class WarcFileDecoder(bytes: Array[Byte], file: String,
+                              presetDict: Option[Array[Byte]] = None)
       extends Iterator[WarcRecord] {
     private val format = detectFormat(bytes)
     private val parser = new RecordParser(file)
@@ -202,7 +208,7 @@ object WarcBytes {
         // contract can be checked per frame exactly like gzip members
         if (!zstdInit) {
           val (d, start) = zstdDictFrame(bytes)
-          zstdDict = d
+          zstdDict = d.orElse(presetDict)
           pos = start
           zstdInit = true
         }

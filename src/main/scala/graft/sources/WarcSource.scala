@@ -69,6 +69,27 @@ object WarcSource {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val len = fs.getFileStatus(path).getLen
     if (position < 0 || position >= len) return None
+    def readAt(off: Long, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      val in = fs.open(path)
+      try { in.seek(off); in.readFully(a) } finally in.close()
+      a
+    }
+    // a mid-file offset into a DICTIONARIED zstd archive can't decode
+    // without the head frame's dictionary — parse it lazily (one 8-byte
+    // head read + the frame, only when the sought buffer is zstd and
+    // doesn't start at 0, where the decoder parses the head itself)
+    lazy val headDict: Option[Array[Byte]] =
+      if (len < 8) None
+      else {
+        val h = readAt(0L, 8)
+        if ((WarcBytes.readLe32(h, 0) & 0xfffffff0) == 0x184d2a50) {
+          val frameLen = WarcBytes.readLe32(h, 4) & 0xffffffffL
+          if (8 + frameLen <= len && frameLen <= maxBytes)
+            WarcBytes.zstdDictFrame(readAt(0L, (8 + frameLen).toInt))._1
+          else None
+        } else None
+      }
     // progressive window: most records are far smaller than maxBytes, so
     // read 256 KiB and grow 4× on decoder underrun instead of eagerly
     // fetching the whole cap (a 64 MB ranged GET per point lookup)
@@ -77,12 +98,13 @@ object WarcSource {
     var done = false
     while (!done) {
       val toRead = math.min(len - position, window).toInt
-      val buf = new Array[Byte](toRead)
-      val in = fs.open(path)
-      try { in.seek(position); in.readFully(buf) } finally in.close()
+      val buf = readAt(position, toRead)
       val atCap = toRead.toLong >= math.min(len - position, maxBytes.toLong)
       try {
-        val dec = new WarcBytes.WarcFileDecoder(buf, file)
+        val preset =
+          if (position > 0 && WarcBytes.detectFormat(buf) == "zstd") headDict
+          else None
+        val dec = new WarcBytes.WarcFileDecoder(buf, file, preset)
         record = if (dec.hasNext) Some(dec.next()) else None
         done = true
       } catch {

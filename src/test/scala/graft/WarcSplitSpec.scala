@@ -165,6 +165,14 @@ class WarcSplitSpec extends AnyFunSuite {
         assert(pos.distinct.length == pos.length)
         assert(pos.head > 0, "first member must start after the dict frame")
       }
+      // the byte-seek point lookup honors the head dictionary too
+      val got = WarcSplit.readSplit(spark, file, splitBytes = 1500L)
+        .collect().sortBy(_.position)
+      for (r <- Seq(got.head, got.last)) {
+        val viaGet = WarcSource.get(spark, file, r.position)
+        assert(viaGet.isDefined && viaGet.get.bytes.sameElements(r.bytes),
+          s"$name: get miss at ${r.position}")
+      }
     }
   }
 
