@@ -274,20 +274,26 @@ object WarcSplit {
     * so a single multi-GB archive saturates a cluster instead of one
     * core. `position` = compressed member offset (see object doc).
     */
-  def readSplit(spark: SparkSession, file: String, splitBytes: Long = 128L << 20,
-                maxRecordBytes: Int = 64 << 20): Dataset[WarcRecord] = {
-    import spark.implicits._
-    require(splitBytes > 0, "splitBytes must be positive")
-    val path = new org.apache.hadoop.fs.Path(file)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fileLen = fs.getFileStatus(path).getLen
-    // one 8-byte head read classifies the archive: record-at-time gzip
-    // and zstd are both splittable (member/frame starts are record
-    // boundaries). A zstd archive LED by the skippable dictionary frame
-    // (compress/zstd.rs:13-58) is splittable too: parse the head frame
-    // ONCE here, ship the dictionary with the split spec (it rides the
-    // task closure the way a robots map rides a broadcast — shared
-    // crawl state, read once, used by every task).
+  /** One planned byte-range task: everything a mid-file executor needs
+    * to decode independently (format, head dictionary, content start).
+    */
+  private case class Split(file: String, fileLen: Long, start: Long,
+                           end: Long, format: String,
+                           dict: Option[Array[Byte]], contentStart: Long)
+
+  /** Driver-side split planning for ONE archive: one 8-byte head read
+    * classifies it (record-at-time gzip and zstd are both splittable —
+    * member/frame starts are record boundaries). A zstd archive LED by
+    * the skippable dictionary frame (compress/zstd.rs:13-58) is
+    * splittable too: parse the head frame ONCE here and ship the
+    * dictionary with every split spec (it rides the task closure the
+    * way a robots map rides a broadcast — shared crawl state, read
+    * once, used by every task).
+    */
+  private def planSplits(fs: org.apache.hadoop.fs.FileSystem,
+                         path: org.apache.hadoop.fs.Path, fileLen: Long,
+                         splitBytes: Long, maxRecordBytes: Int): Seq[Split] = {
+    val file = path.toString
     def readAt(off: Long, n: Int): Array[Byte] = {
       val a = new Array[Byte](n)
       val in = fs.open(path)
@@ -318,13 +324,21 @@ object WarcSplit {
         (d, if (start > 0) start.toLong else 8L + frameLen)
       } else (None, 0L)
     val nSplits = math.max(1L, (fileLen + splitBytes - 1) / splitBytes).toInt
-    val fileStr = path.toString
+    (0 until nSplits).map { i =>
+      Split(file, fileLen, i * splitBytes,
+        math.min((i + 1L) * splitBytes, fileLen), format, dict, contentStart)
+    }
+  }
+
+  private def runSplits(spark: SparkSession, splits: Seq[Split],
+                        maxRecordBytes: Int): Dataset[WarcRecord] = {
+    import spark.implicits._
     val rdd = spark.sparkContext
-      .parallelize(0 until nSplits, nSplits)
-      .flatMap { i =>
+      .parallelize(splits, math.max(1, splits.size))
+      .flatMap { s =>
         // executor-side Configuration, like WarcSource.write: picks up
         // the cluster's fs.* settings from the classpath
-        val p = new org.apache.hadoop.fs.Path(fileStr)
+        val p = new org.apache.hadoop.fs.Path(s.file)
         val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
         def readRange(off: Long, n: Int): Array[Byte] = {
           val a = new Array[Byte](n)
@@ -332,10 +346,42 @@ object WarcSplit {
           try { in.seek(off); in.readFully(a) } finally in.close()
           a
         }
-        decodeRange(readRange, fileLen, i * splitBytes,
-          math.min((i + 1L) * splitBytes, fileLen), fileStr, maxRecordBytes,
-          format, dict, contentStart)
+        decodeRange(readRange, s.fileLen, s.start, s.end, s.file,
+          maxRecordBytes, s.format, s.dict, s.contentStart)
       }
     spark.createDataset(rdd)
+  }
+
+  def readSplit(spark: SparkSession, file: String, splitBytes: Long = 128L << 20,
+                maxRecordBytes: Int = 64 << 20): Dataset[WarcRecord] = {
+    require(splitBytes > 0, "splitBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileLen = fs.getFileStatus(path).getLen
+    runSplits(spark, planSplits(fs, path, fileLen, splitBytes, maxRecordBytes),
+      maxRecordBytes)
+  }
+
+  /** Directory form: every record-at-time archive under `dir` matching
+    * `glob`, split into byte-range tasks in ONE task cloud — the
+    * bounded-memory fleet reader. [[WarcSource.read]] buffers each whole
+    * file (Spark `binaryFile`, capped at 2 GiB and one task per file);
+    * this path holds at most `splitBytes` + a validation tail + one
+    * record per task regardless of archive size, and a directory of
+    * multi-GB archives saturates a cluster instead of |files| cores.
+    * `position` is the compressed member offset per the object doc.
+    */
+  def readSplitDir(spark: SparkSession, dir: String, glob: String = "*.warc*",
+                   splitBytes: Long = 128L << 20,
+                   maxRecordBytes: Int = 64 << 20): Dataset[WarcRecord] = {
+    require(splitBytes > 0, "splitBytes must be positive")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(base, glob))
+    val splits = Option(files).toSeq.flatten.filter(_.isFile)
+      .sortBy(_.getPath.toString)
+      .flatMap(st => planSplits(fs, st.getPath, st.getLen, splitBytes,
+        maxRecordBytes))
+    runSplits(spark, splits, maxRecordBytes)
   }
 }

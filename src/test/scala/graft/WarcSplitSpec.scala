@@ -196,6 +196,26 @@ class WarcSplitSpec extends AnyFunSuite {
     assert(got.map(key).sorted.toSeq == records.map(key).sorted)
   }
 
+  test("readSplitDir: one task cloud over a mixed fleet (gzip + zstd + dictionaried)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-split-dir").toString
+    import spark.implicits._
+    val a = Synth.warcRecords(round = 11, n = 25)
+    val b = Synth.warcRecords(round = 12, n = 25)
+    val c = Synth.warcRecords(round = 13, n = 25)
+    WarcSource.writeSingleFile(spark.createDataset(a), s"$tmp/a.warc.gz", "gzip")
+    WarcSource.writeSingleFile(spark.createDataset(b), s"$tmp/b.warc.zst", "zstd")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/c.warc.zst"),
+      WarcBytes.encodeZstd(c, dict = Some(("dict " * 100).getBytes("UTF-8"))))
+    val all = (a ++ b ++ c).map(key).sorted
+    val ds = WarcSplit.readSplitDir(spark, tmp, splitBytes = 1500L)
+    assert(ds.collect().map(key).sorted.toSeq == all)
+    // splits from different files land in different tasks of ONE job
+    val nTasks = ds.select(spark_partition_id()).distinct().count()
+    assert(nTasks > 3, s"expected >3 range tasks, got $nTasks")
+    // records keep their source file
+    assert(ds.collect().map(_.file).distinct.sorted.length == 3)
+  }
+
   test("non-gzip input is rejected with a clear error") {
     val records = Synth.warcRecords(n = 3)
     val dir = java.nio.file.Files.createTempDirectory("graft-split-plain").toString
