@@ -661,6 +661,7 @@ object Bench {
         // untimed window instead of inside q61/q67's suite timing
         SparkEntry.splitGateFixture(spark, sfDir, "gzip")
         SparkEntry.splitGateFixture(spark, sfDir, "zstd")
+        SparkEntry.fleetGateFixture(spark, sfDir)
         // image-bridge warm: q59's first pass pays ~23 s of ImageIO
         // plugin init + decode-UDF codegen (cold 32.7 s vs warm 9.9 s,
         // QueryProbe) — 200 tiny decodes through the same

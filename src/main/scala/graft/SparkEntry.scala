@@ -171,6 +171,54 @@ object SparkEntry {
     file
   }
 
+  /** Build-once FLEET fixture for the directory split gate (q71): one
+    * record-at-time gzip archive (orders %5==0, distributed encode) and
+    * one DICTIONARIED zstd archive (orders %50==1 — a driver-side batch,
+    * ~3k records at bench sf, since the dictionary encoder is the
+    * reference's single-stream form) in one directory behind an `.ok`
+    * marker. Disjoint id sets and per-file length schemes prove each
+    * record decoded from the right file.
+    */
+  def fleetGateFixture(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val tmp = s"/tmp/graft-warc-fleet-gate/${new java.io.File(dir).getName}"
+    val ok = new java.io.File(tmp, ".ok")
+    if (!ok.isFile) {
+      org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      new java.io.File(tmp).mkdirs()
+      def mkRec(k: Long, baseLen: Int, lenStep: Int, fname: String): graft.core.WarcRecord = {
+        val len = baseLen + (k % 7L).toInt * lenStep
+        val bytes = new Array[Byte](len)
+        val rng = new Synth.Rng(k * 0x9e3779b9L + 13L)
+        var j = 0
+        while (j < len) { bytes(j) = rng.nextLong().toByte; j += 1 }
+        graft.core.WarcRecord(0L, fname, "WARC/1.1", Seq(
+          Field("WARC-Record-ID", s"<urn:fleet:$k>"),
+          Field("WARC-Type", "resource"),
+          Field("WARC-Block-Digest", Digests.formatDigest("sha1",
+            Digests.compute("sha1", bytes).get)),
+          Field("Content-Length", len.toString)), bytes)
+      }
+      val recsA = t(s, dir, "orders").select(col("o_orderkey"))
+        .where(pmod(col("o_orderkey"), lit(5)) === 0)
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
+        .map(k => mkRec(k, 700, 31, "a.warc.gz"))
+      graft.sources.WarcSource.writeSingleFile(recsA, s"$tmp/a.warc.gz", "gzip")
+      val idsB = t(s, dir, "orders").select(col("o_orderkey"))
+        .where(pmod(col("o_orderkey"), lit(50)) === 1)
+        .as[Long].collect().sorted
+      val dict = ("graft fleet dictionary material " * 64).getBytes("UTF-8")
+      val recsB = idsB.toSeq.map(k => mkRec(k, 500, 29, "b.warc.zst"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/b.warc.zst"),
+        graft.sources.WarcBytes.encodeZstd(recsB, dict = Some(dict),
+          compressDict = true))
+      ok.createNewFile()
+    }
+    tmp
+  }
+
   /** Robots fixture derived from the same host universe: delay
     * 250*(1+h%4) ms; hosts h%7==0 disallow the '/p/1' prefix.
     */
@@ -1267,6 +1315,41 @@ object SparkEntry {
       base.select(col("rec_id"), col("len_ok"), col("digest_ok"),
         lit(flags.getBoolean(0)).as("pos_ok"),
         lit(flags.getBoolean(1)).as("split_ok"))
+    }),
+
+    // Fleet split: a DIRECTORY of record-at-time archives — one gzip
+    // (distributed encode) + one DICTIONARIED zstd (head dictionary
+    // frame, parsed once by the split planner and shipped to every
+    // range task) — read as ONE byte-range task cloud
+    // (WarcSplit.readSplitDir). Disjoint id sets and per-file length
+    // schemes prove every record decoded from the right file; len_ok
+    // selects the scheme by id parity with the fixture's construction.
+    "q71_warc_split_fleet" -> ((s, dir) => {
+      val fleet = fleetGateFixture(s, dir)
+      val ds = graft.sources.WarcSplit.readSplitDir(s, fleet,
+        splitBytes = 1L << 20).toDF()
+      val recId = regexp_extract(
+        FieldOps.fieldGet(col("fields"), "WARC-Record-ID"), "<urn:fleet:([0-9]+)>", 1)
+        .cast("long")
+      val digestOk = udf { (declared: String, bytes: Array[Byte]) =>
+        Digests.computeText("sha1", bytes).contains(declared)
+      }
+      val wantLen = when(pmod(recId, lit(5)) === 0,
+          lit(700) + pmod(recId, lit(7)) * 31)
+        .otherwise(lit(500) + pmod(recId, lit(7)) * 29)
+      val fromFile = when(pmod(recId, lit(5)) === 0, lit("a.warc.gz"))
+        .otherwise(lit("b.warc.zst"))
+      val base = ds.select(recId.as("rec_id"),
+        (length(col("bytes")) === wantLen).as("len_ok"),
+        digestOk(FieldOps.fieldGet(col("fields"), "WARC-Block-Digest"),
+          col("bytes")).as("digest_ok"),
+        col("file").endsWith(fromFile).as("file_ok"),
+        spark_partition_id().as("pid"))
+        .persist()
+      val flags = base.agg(
+        (countDistinct(col("pid")) > 1).as("split_ok")).head()
+      base.select(col("rec_id"), col("len_ok"), col("digest_ok"),
+        col("file_ok"), lit(flags.getBoolean(0)).as("split_ok"))
     })
   )
 
@@ -2004,6 +2087,11 @@ object SparkEntry {
       """SELECT o_orderkey AS rec_id, true AS len_ok, true AS digest_ok,
         | true AS pos_ok, true AS split_ok
         |FROM orders""".stripMargin,
+
+    "q71_warc_split_fleet" ->
+      """SELECT o_orderkey AS rec_id, true AS len_ok, true AS digest_ok,
+        | true AS file_ok, true AS split_ok
+        |FROM orders WHERE o_orderkey % 5 = 0 OR o_orderkey % 50 = 1""".stripMargin,
 
     "q64_extract_tree" ->
       """WITH g AS (
