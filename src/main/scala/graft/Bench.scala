@@ -318,7 +318,12 @@ object Bench {
       */
     def renderCompact(): String = stateLock.synchronized {
       val totalSec = queries.values.sum
-      def short(n: String) = n.takeWhile(_ != '_')
+      // only qNN_* names shrink to their number — harness error keys
+      // (scaling_child_c2_died, suite_warmup, ...) keep their full name:
+      // a prefix cut would collide distinct keys into duplicate JSON
+      // fields and silently drop all but the last
+      def short(n: String) =
+        if (n.matches("q\\d+_.*")) n.takeWhile(_ != '_') else n
       def f2(d: Double) =
         if (d.isNaN || d.isInfinite) "null"
         else "%.2f".formatLocal(java.util.Locale.US, d)
@@ -611,12 +616,17 @@ object Bench {
       // buys that compilation here, where nothing is being timed
       // anyway; it overlaps the child warm-up window and is sized to
       // stay inside it. The extract tree (q64) is deliberately NOT
-      // warmed: its cost is file IO, not JIT.
-      try {
+      // warmed: its cost is file IO, not JIT. Each warm stage is its own
+      // try: a failure in one must not skip the fixture prebuilds or the
+      // other stages (they protect different suite timings).
+      def warmStage(label: String)(body: => Unit): Unit =
+        try body
+        catch { case e: Exception =>
+          setErr(s"suite_warmup_$label", e.getMessage.take(300))
+        }
+      warmStage("scheduler") {
         import graft.frontier.{Canonical, Scheduler}
-        import graft.core.{Digests, Field, WarcRecord}
         import org.apache.spark.sql.functions._
-        import spark.implicits._
         val warmDir = "/tmp/graft-bench-warm"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
         val wf = graft.synth.Synth.frontierSeed(spark, 20000, 200).toDF()
@@ -638,6 +648,12 @@ object Bench {
           Scheduler.loadSeenClustered(spark, warmDir + "/seen", buckets = 4),
           wr, maxPerHostPerRound = 40,
           frontierHostClustered = true, seenHostClustered = true).count()
+      }
+      warmStage("warc") {
+        import graft.core.{Digests, Field, WarcRecord}
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val warmDir = "/tmp/graft-bench-warm"
         val wrecs = spark.range(2000).as[Long].map { k =>
           val len = 400 + (k % 7L).toInt * 37
           val bytes = Array.tabulate(len)(j => ((k * 31 + j) & 0xff).toByte)
@@ -655,13 +671,16 @@ object Bench {
             .toDF().agg(count(lit(1))).head()
         }
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
-        // ensure the split-gate archive fixtures exist NOW (build-once
-        // behind .ok markers — normally already on disk, so this is a
-        // stat): if /tmp was cleared, the ~30 s build lands in this
-        // untimed window instead of inside q61/q67's suite timing
-        SparkEntry.splitGateFixture(spark, sfDir, "gzip")
-        SparkEntry.splitGateFixture(spark, sfDir, "zstd")
-        SparkEntry.fleetGateFixture(spark, sfDir)
+      }
+      // ensure the split-gate archive fixtures exist NOW (build-once
+      // behind .ok markers — normally already on disk, so this is a
+      // stat): if /tmp was cleared, the ~30 s build lands in this
+      // untimed window instead of inside q61/q67/q71's suite timing
+      warmStage("fixture_gzip") { SparkEntry.splitGateFixture(spark, sfDir, "gzip") }
+      warmStage("fixture_zstd") { SparkEntry.splitGateFixture(spark, sfDir, "zstd") }
+      warmStage("fixture_fleet") { SparkEntry.fleetGateFixture(spark, sfDir) }
+      warmStage("image") {
+        import org.apache.spark.sql.functions._
         // image-bridge warm: q59's first pass pays ~23 s of ImageIO
         // plugin init + decode-UDF codegen (cold 32.7 s vs warm 9.9 s,
         // QueryProbe) — 200 tiny decodes through the same
@@ -689,8 +708,6 @@ object Bench {
         graft.ops.ExtractOp.writeTree(
           graft.ops.ExtractOp.extract(wimg), wtreeDir).agg(count(lit(1))).head()
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wtreeDir))
-      } catch { case e: Exception =>
-        setErr("suite_warmup", e.getMessage.take(300))
       }
       mark("parent_warmup")
       // wait for idle children before timing anything — cheap now that
@@ -837,27 +854,30 @@ object Bench {
       // queries with a wall-time in a committed driver artifact
       // (BENCH_r*.json) have their timing on file already; the ones
       // absent from all of them are the artifact gap and outrank
-      // historied queries within each group. query_errors values are
-      // strings, so an errored-only query stays "untimed" here.
-      val historic: Set[String] = {
+      // historied queries within each group. Matching is by query
+      // NUMBER: r01-r03 artifacts carry full qNN_* names, r04+ carry
+      // the compact qNN keys. query_errors values are strings, so an
+      // errored-only query stays "untimed" here.
+      val historicNums: Set[Int] = {
         val artifacts = Option(new java.io.File(".").listFiles).toSeq.flatten
           .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        val timedRe = """"(q\d+_[a-z0-9_]+)"\s*:\s*[0-9.]+""".r
+        val timedRe = """"q(\d+)(_[a-z0-9_]+)?"\s*:\s*[0-9.]+""".r
         artifacts.flatMap { f =>
           try {
             val src = scala.io.Source.fromFile(f)
-            try timedRe.findAllMatchIn(src.mkString).map(_.group(1)).toList
+            try timedRe.findAllMatchIn(src.mkString).map(_.group(1).toInt).toList
             finally src.close()
           } catch { case _: Exception => Nil }
         }.toSet
       }
       def qnum(n: String) = n.drop(1).takeWhile(_.isDigit).toInt
+      def historic(n: String) = historicNums.contains(qnum(n))
       val (heavies, lights) = allQueries.partition(q => heavy.contains(q._1))
       val suite =
-        lights.sortBy { case (n, _) => (historic.contains(n), -qnum(n)) } ++
-        heavies.sortBy { case (n, _) => (historic.contains(n), heavyCost(n)) }
+        lights.sortBy { case (n, _) => (historic(n), -qnum(n)) } ++
+        heavies.sortBy { case (n, _) => (historic(n), heavyCost(n)) }
       suite.foreach { case (name, fn) =>
-        val first = !historic.contains(name)
+        val first = !historic(name)
         // tail reserve is sized to the query about to run, not a flat
         // 30 s: the light tail is sub-second queries, and a flat
         // reserve threw away ~16 s of timing capacity right where

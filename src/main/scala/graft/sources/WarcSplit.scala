@@ -378,7 +378,15 @@ object WarcSplit {
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(new org.apache.hadoop.fs.Path(base, glob))
+    // Hadoop hidden-file convention ('.'/'_' prefixes): globStatus does
+    // NOT apply FileInputFormat's hidden filter, and a checksummed local
+    // FS leaves `.x.warc.gz.crc` sidecars next to every archive — those
+    // must never be classified as archives
     val splits = Option(files).toSeq.flatten.filter(_.isFile)
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith(".") || n.startsWith("_")
+      }
       .sortBy(_.getPath.toString)
       .flatMap(st => planSplits(fs, st.getPath, st.getLen, splitBytes,
         maxRecordBytes))
