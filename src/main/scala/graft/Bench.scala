@@ -21,7 +21,9 @@ import org.apache.spark.sql.SparkSession
   * EVIDENCE bar (>=3 completed rounds per config), reports whatever the
   * window gave, and the suite then always runs on an idle box. Leftover
   * budget at the end — and only leftover budget — buys bonus rounds that
-  * can tighten the mins (they only ever improve the ratio).
+  * can tighten the estimates (the high-side min only ever improves; the
+  * low-side median excludes steal-poisoned rounds, so a bonus round that
+  * lands in a storm cannot degrade it either).
   *
   *  1. children warm up; the parent stays a thin poller — NO Spark
   *     session yet (an idle 32-thread session + its GC measurably
@@ -241,7 +243,15 @@ object Bench {
 
     // scaling summary shared by both renders
     def scalingJson(): (Double, Double, String) = {
-      val lows = trials.filter(_.cores == scaleLow).map(_.sec)
+      // steal is exogenous, measured per round, and only ever INFLATES a
+      // round — exclude steal-poisoned rounds (>5 s absorbed) from the
+      // LOW-side median when >=3 clean rounds remain, so a late bonus
+      // round that lands in a storm cannot DEGRADE the estimate the gate
+      // phase already banked (the high side's min is immune by
+      // construction). Unknown steal (-1) counts as clean.
+      val lowsAll = trials.filter(_.cores == scaleLow)
+      val lowsClean = lowsAll.filter(_.steal <= 5.0)
+      val lows = (if (lowsClean.size >= 3) lowsClean else lowsAll).map(_.sec)
       val highs = trials.filter(_.cores == scaleHigh).map(_.sec)
       // Asymmetric robust estimators, matched to the two measured
       // ambient artifacts which push the two sides in OPPOSITE

@@ -137,12 +137,26 @@ object SparkEntry {
     * partial build (crash before the marker lands) is dropped and
     * rebuilt. One file per (sf, codec) — nothing accretes.
     */
+  /** Cache key for the build-once /tmp gate fixtures: sf-dir basename
+    * alone is ambiguous (two datasets can share `sf0.1`), so the key
+    * also carries the orders table's byte length (a metadata stat that
+    * pins the dataset) and a fixture-shape version (bump `v` when the
+    * synthesis constants change — a stale archive behind an `.ok`
+    * marker would fail gates for a reason invisible in the query).
+    */
+  private def fixtureKey(s: SparkSession, dir: String, v: Int): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
+    val len = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getLen
+    s"${new java.io.File(dir).getName}-v$v-$len"
+  }
+
   def splitGateFixture(s: SparkSession, dir: String, codec: String): String = {
     import s.implicits._
     val gz = codec == "gzip"
     val sub = if (gz) "graft-warc-split-gate" else "graft-warc-zsplit-gate"
     val fname = if (gz) "big.warc.gz" else "big.warc.zst"
-    val tmp = s"/tmp/$sub/${new java.io.File(dir).getName}"
+    val tmp = s"/tmp/$sub/${fixtureKey(s, dir, 1)}"
     val file = s"$tmp/$fname"
     val ok = new java.io.File(file + ".ok")
     if (!ok.isFile || !new java.io.File(file).isFile) {
@@ -181,7 +195,7 @@ object SparkEntry {
     */
   def fleetGateFixture(s: SparkSession, dir: String): String = {
     import s.implicits._
-    val tmp = s"/tmp/graft-warc-fleet-gate/${new java.io.File(dir).getName}"
+    val tmp = s"/tmp/graft-warc-fleet-gate/${fixtureKey(s, dir, 1)}"
     val ok = new java.io.File(tmp, ".ok")
     if (!ok.isFile) {
       org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)

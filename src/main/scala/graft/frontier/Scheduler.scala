@@ -271,27 +271,11 @@ object Scheduler {
       // cold pipeline); (b) when non-empty, the broadcast builds from a
       // local relation instead of running the count-aggregate as a
       // separate broadcast-subquery job.
-      val spark = rawFrontier.sparkSession
-      val hotRows = knownHotHosts
-        .map(_.map(h => org.apache.spark.sql.Row(h, true)))
-        .getOrElse(hotHostSet(rawFrontier, cap).collect())
+      val hotRows = hotRowSet(rawFrontier, cap, knownHotHosts)
       val withHost =
         if (rawFrontier.columns.contains("host")) rawFrontier
         else rawFrontier.withColumn("host", Canonical.hostOf(col("url")))
-      val (hot, cold) =
-        if (hotRows.isEmpty) (None, withHost)
-        else {
-          val hotHosts = spark.createDataFrame(
-            java.util.Arrays.asList(hotRows: _*),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("host",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("__hot",
-                org.apache.spark.sql.types.BooleanType))))
-          val flagged = withHost.join(broadcast(hotHosts), Seq("host"), "left")
-          (Some(flagged.where(col("__hot")).drop("__hot")),
-            flagged.where(col("__hot").isNull).drop("__hot"))
-        }
+      val (hot, cold) = hotFlagSplit(withHost, hotRows)
       // hot leg (tiny, over-cap hosts only): derive keys up front — the
       // url_key agg-dedupe needs them pre-exchange anyway
       val hotSched = hot.map { h =>
@@ -348,10 +332,7 @@ object Scheduler {
       require(seenKeys.columns.contains("host"),
         "seenHostClustered requires a (host, url_key) seen table — " +
           "write it with saveSeenClustered / checkpointRound")
-      val spark = rawFrontier.sparkSession
-      val hotRows = knownHotHosts
-        .map(_.map(h => org.apache.spark.sql.Row(h, true)))
-        .getOrElse(hotHostSet(rawFrontier, cap).collect())
+      val hotRows = hotRowSet(rawFrontier, cap, knownHotHosts)
       val withHost =
         if (rawFrontier.columns.contains("host")) rawFrontier
         else rawFrontier.withColumn("host", Canonical.hostOf(col("url")))
@@ -370,20 +351,7 @@ object Scheduler {
           col("host") <=> col("__seen_host") && col("url_key") === col("__seen_key"),
           "left_anti")
         .drop("url_key")
-      val (hot, cold) =
-        if (hotRows.isEmpty) (None, fresh)
-        else {
-          val hotHosts = spark.createDataFrame(
-            java.util.Arrays.asList(hotRows: _*),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("host",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("__hot",
-                org.apache.spark.sql.types.BooleanType))))
-          val flagged = fresh.join(broadcast(hotHosts), Seq("host"), "left")
-          (Some(flagged.where(col("__hot")).drop("__hot")),
-            flagged.where(col("__hot").isNull).drop("__hot"))
-        }
+      val (hot, cold) = hotFlagSplit(fresh, hotRows)
       val hotSched = hot.map { h =>
         val hotKeyed = h
           .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
@@ -391,10 +359,18 @@ object Scheduler {
         Politeness.schedule(
           Politeness.capPerHost(robotsStage(dedupeWithinBatch(hotKeyed)), cap))
       }
-      // cold schema after the drop is exactly the agg-dedupe domain
-      // (url, priority_band, host, canonical_url) — sort-free hash agg,
-      // clustering satisfied by the scan
-      val coldSched = Politeness.schedule(robotsStage(dedupeWithinHostAgg(cold)))
+      // the bare frontier's cold schema after the drop is exactly the
+      // agg-dedupe domain (url, priority_band, host, canonical_url) —
+      // sort-free hash agg, clustering satisfied by the scan; a frontier
+      // carrying EXTRA columns takes the whole-row window dedupe instead
+      // (same winner), like the probe-free branch — the agg form would
+      // silently drop the extras (and break the union with the hot leg,
+      // which keeps whole rows)
+      val coldDeduped =
+        if (cold.columns.toSet == Set("url", "priority_band", "host", "canonical_url"))
+          dedupeWithinHostAgg(cold)
+        else dedupeWithinHost(cold)
+      val coldSched = Politeness.schedule(robotsStage(coldDeduped))
         .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
         .withColumn("host_hash", Canonical.hostHash(col("host")))
       finish(hotSched.fold(coldSched)(_.unionByName(coldSched)))
@@ -411,22 +387,11 @@ object Scheduler {
         if (cap > 0) {
           // same collected hot set as the probe-free branch: empty (the
           // steady state) ⇒ the flag join + cap leg vanish from the plan
-          val hotRows = knownHotHosts
-            .map(_.map(h => org.apache.spark.sql.Row(h, true)))
-            .getOrElse(hotHostSet(rawFrontier, cap).collect())
-          if (hotRows.isEmpty) robotted
-          else {
-            val hotHosts = rawFrontier.sparkSession.createDataFrame(
-              java.util.Arrays.asList(hotRows: _*),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("host",
-                  org.apache.spark.sql.types.StringType),
-                org.apache.spark.sql.types.StructField("__hot",
-                  org.apache.spark.sql.types.BooleanType))))
-            val flagged = robotted.join(broadcast(hotHosts), Seq("host"), "left")
-            val hot = flagged.where(col("__hot")).drop("__hot")
-            val cold = flagged.where(col("__hot").isNull).drop("__hot")
-            Politeness.capPerHost(hot, cap).unionByName(cold)
+          val hotRows = hotRowSet(rawFrontier, cap, knownHotHosts)
+          hotFlagSplit(robotted, hotRows) match {
+            case (Some(hot), cold) =>
+              Politeness.capPerHost(hot, cap).unionByName(cold)
+            case (None, cold) => cold
           }
         } else robotted
       finish(Politeness.schedule(polite))
@@ -454,6 +419,37 @@ object Scheduler {
       else maxPerHostPerRound
     hotHostSet(rawFrontier, cap).collect().map(_.getString(0))
   }
+
+  /** Collected over-cap host rows: caller-supplied names (DEDUPLICATED —
+    * a knownHotHosts array built from overlapping metric snapshots must
+    * not multiply rows through the hot-flag left join) or the counted
+    * set.
+    */
+  private def hotRowSet(rawFrontier: DataFrame, cap: Int,
+                        known: Option[Array[String]]): Array[org.apache.spark.sql.Row] =
+    known.map(_.distinct.map(h => org.apache.spark.sql.Row(h, true)))
+      .getOrElse(hotHostSet(rawFrontier, cap).collect())
+
+  /** Split `df` into (over-cap-host rows, everything else) via one
+    * broadcast flag join; empty hot set ⇒ (None, df) and the join
+    * vanishes from the plan. Shared by all three runRound branches so
+    * the split mechanics cannot drift between them.
+    */
+  private def hotFlagSplit(df: DataFrame,
+                           hotRows: Array[org.apache.spark.sql.Row]): (Option[DataFrame], DataFrame) =
+    if (hotRows.isEmpty) (None, df)
+    else {
+      val hotHosts = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("host",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__hot",
+            org.apache.spark.sql.types.BooleanType))))
+      val flagged = df.join(broadcast(hotHosts), Seq("host"), "left")
+      (Some(flagged.where(col("__hot")).drop("__hot")),
+        flagged.where(col("__hot").isNull).drop("__hot"))
+    }
 
   private def hotHostSet(rawFrontier: DataFrame, cap: Int): DataFrame = {
     // with a stored host column this pass reads ONE pruned column from
@@ -546,7 +542,13 @@ object Scheduler {
     */
   def appendSeenClustered(seen: DataFrame, path: String, buckets: Int = 64): Unit = {
     val spark = seen.sparkSession
-    if (!new java.io.File(path).exists)
+    // existence through the Hadoop FileSystem, NOT java.io.File: on
+    // hdfs://-/s3a://-style paths a local-File check is always false,
+    // which would silently OVERWRITE the accumulated seen table with
+    // just this round's delta every round
+    val p = new org.apache.hadoop.fs.Path(path)
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (!exists)
       saveSeenClustered(seen, path, buckets)
     else {
       // write through the registered table identity so saveAsTable

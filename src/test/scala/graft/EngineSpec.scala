@@ -250,6 +250,41 @@ class PolitenessSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("fused seen round preserves extra frontier columns (hot host included)") {
+    // a frontier carrying columns beyond (url, band, host) — e.g. depth —
+    // must keep them through the FUSED round's cold leg exactly like the
+    // probe path does: the agg dedupe would silently drop extras and the
+    // hot-leg union would then throw on the schema mismatch
+    val raw = Synth.frontierSeed(spark, 1200, nHosts = 20).toDF()
+      .select($"url", $"priority_band")
+      .unionByName((1 to 400).toDF("i").select(
+        concat(lit("https://hot.example.test/u/"), $"i").as("url"),
+        lit(0).as("priority_band")))
+      .withColumn("host", Canonical.hostOf($"url"))
+      .withColumn("depth", (xxhash64($"url") % 5).cast("int"))
+    val seenPlain = Scheduler.canonicalize(raw.drop("host", "depth"))
+      .where(xxhash64($"canonical_url") % 2 === 0)
+      .select($"host", $"url_key").distinct()
+    val dir = java.nio.file.Files.createTempDirectory("graft-fused-extra").toString
+    spark.sql("DROP TABLE IF EXISTS graft_test_fused_extra")
+    raw.repartition(4, $"host").write.mode("overwrite").bucketBy(4, "host")
+      .option("path", s"$dir/frontier").saveAsTable("graft_test_fused_extra")
+    Scheduler.saveSeenClustered(seenPlain, s"$dir/seen", buckets = 4)
+    val robots = Synth.robots(spark, 20).toDF()
+    val fused = Scheduler.runRound(spark.table("graft_test_fused_extra"),
+      Scheduler.loadSeenClustered(spark, s"$dir/seen", buckets = 4), robots,
+      maxPerHostPerRound = 200, frontierHostClustered = true,
+      seenHostClustered = true)
+    assert(fused.columns.contains("depth"), "extra column dropped by fused round")
+    val cols = Seq("canonical_url", "depth", "host_seq", "scheduled_ms")
+    val probe = Scheduler.runRound(raw.drop("depth")
+        .withColumn("depth", (xxhash64($"url") % 5).cast("int")),
+      seenPlain, robots, maxPerHostPerRound = 200)
+    val f = fused.select(cols.map(col): _*)
+    val p = probe.select(cols.map(col): _*)
+    assert(f.exceptAll(p).isEmpty && p.exceptAll(f).isEmpty)
+  }
+
   test("appendSeenClustered grows the seen table in place, fused round stays zero-exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val raw = Synth.frontierSeed(spark, 2500, nHosts = 30).toDF()
