@@ -176,6 +176,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("splitter: split == whole for random records, codecs, split sizes (incl. dict)") {
+    import graft.sources.WarcSplit
+    def le32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xffL)) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    for (i <- 0 until 12) {
+      val n = 5 + sample(Gen.chooseNum(0, 12), 9000L + i)
+      val recs = (0 until n).map { j =>
+        val block = sample(bytesGen, i * 100L + j)
+        graft.core.WarcRecord(0L, "s", "WARC/1.1", Seq(
+          Field("WARC-Record-ID", s"<urn:s:$i-$j>"),
+          Field("Content-Length", block.length.toString)), block)
+      }
+      val mode = i % 3 // 0 gzip, 1 zstd, 2 zstd + dictionary
+      val dict = if (mode == 2) Some(("prop dict " * 30).getBytes("UTF-8")) else None
+      val bytes = mode match {
+        case 0 => WarcBytes.encodeGzip(recs)
+        case _ => WarcBytes.encodeZstd(recs, dict = dict, compressDict = i % 2 == 0)
+      }
+      val format = if (mode == 0) "gzip" else "zstd"
+      // dict frame = magic(4) + size(4) + payload — content starts after it
+      val contentStart = if (mode == 2) 8L + le32(bytes, 4) else 0L
+      val fileLen = bytes.length.toLong
+      def readRange(off: Long, len: Int): Array[Byte] =
+        java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+      val splitBytes = sample(Gen.chooseNum(100L, 4000L), 9100L + i)
+      val nSplits = math.max(1L, (fileLen + splitBytes - 1) / splitBytes).toInt
+      val got = (0 until nSplits).flatMap { k =>
+        WarcSplit.decodeRange(readRange, fileLen, k * splitBytes,
+          math.min((k + 1L) * splitBytes, fileLen), "s",
+          format = format, dict = dict, contentStart = contentStart).toSeq
+      }
+      val whole =
+        if (mode == 0) WarcBytes.decodeGzip(bytes, "s")
+        else WarcBytes.decodeZstd(bytes, "s")
+      def key(r: graft.core.WarcRecord) =
+        (r.fields.find(_.name == "WARC-Record-ID").get.value,
+          r.bytes.toSeq.hashCode)
+      assert(got.map(key).sorted == whole.map(key).sorted,
+        s"i=$i mode=$mode split=$splitBytes n=$n")
+      assert(got.map(_.position).distinct.length == got.length, s"i=$i")
+    }
+  }
+
   test("header serialize ⇄ parse round-trips generated multimaps with duplicates") {
     val nameGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
     val valueGen = Gen.listOf(Gen.asciiPrintableChar).map(_.mkString.trim)
