@@ -27,22 +27,30 @@ object Politeness {
     * `exists(prefixes, p -> path.startsWith(p))` with regex path capture
     * `^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)`.
     */
+  /** Path component of a canonical URL (empty for null/host-only/
+    * unparseable) — the ONE implementation both robots filters share:
+    * their spec-tested output equality rides on this scan being
+    * bit-identical in the join and map forms.
+    */
+  private def pathOf(url: String): String = {
+    val schemeEnd = if (url == null) -1 else url.indexOf("://")
+    if (schemeEnd < 0) ""
+    else {
+      val slash = url.indexOf('/', schemeEnd + 3)
+      if (slash < 0) ""
+      else {
+        var end = url.indexOf('?', slash)
+        val hash = url.indexOf('#', slash)
+        if (hash >= 0 && (end < 0 || hash < end)) end = hash
+        if (end < 0) url.substring(slash) else url.substring(slash, end)
+      }
+    }
+  }
+
   private val disallowedUdf = udf { (url: String, prefixes: Seq[String]) =>
     if (url == null || prefixes == null || prefixes.isEmpty) false
     else {
-      val schemeEnd = url.indexOf("://")
-      val path =
-        if (schemeEnd < 0) ""
-        else {
-          val slash = url.indexOf('/', schemeEnd + 3)
-          if (slash < 0) ""
-          else {
-            var end = url.indexOf('?', slash)
-            val hash = url.indexOf('#', slash)
-            if (hash >= 0 && (end < 0 || hash < end)) end = hash
-            if (end < 0) url.substring(slash) else url.substring(slash, end)
-          }
-        }
+      val path = pathOf(url)
       prefixes.exists(path.startsWith)
     }
   }
@@ -55,8 +63,13 @@ object Politeness {
   def applyRobots(frontier: DataFrame, robots: DataFrame): DataFrame =
     frontier
       .join(broadcast(robots), Seq("host"), "left")
+      // clamped at 0: a negative delay in the robots table (a plausible
+      // 'unknown' encoding) must not conflate with the map form's -1
+      // dropped sentinel — both forms clamp, keeping their spec-tested
+      // output equality
       .withColumn("crawl_delay_ms",
-        coalesce(col("crawl_delay_ms").cast("long"), lit(DefaultDelayMs)))
+        greatest(lit(0L), coalesce(col("crawl_delay_ms").cast("long"),
+          lit(DefaultDelayMs))))
       .where(!disallowedUdf(col("canonical_url"), col("disallow_prefixes")))
       .drop("disallow_prefixes")
 
@@ -73,16 +86,26 @@ object Politeness {
   def robotsBroadcast(robots: DataFrame,
                       maxHosts: Long = 20000000L): org.apache.spark.broadcast.Broadcast[
       Map[String, (Long, Array[String])]] = {
-    val spark = robots.sparkSession
     val n = robots.count()
     require(n <= maxHosts,
       s"robots table has $n hosts > $maxHosts: use the per-round broadcast join")
+    robotsBroadcastUnchecked(robots)
+  }
+
+  /** The collect+broadcast itself, size check already done by the
+    * caller ([[robotsBroadcast]] counts; [[robotsStage]] reuses ITS
+    * guard count instead of running a second one).
+    */
+  private def robotsBroadcastUnchecked(robots: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[Map[String, (Long, Array[String])]] = {
+    val spark = robots.sparkSession
     val m = robots
       .select(col("host"), col("crawl_delay_ms").cast("long"),
         col("disallow_prefixes"))
       .collect()
       .map(r => r.getString(0) -> (
-        (if (r.isNullAt(1)) DefaultDelayMs else r.getLong(1)),
+        // clamped at 0 like applyRobots — see the comment there
+        (if (r.isNullAt(1)) DefaultDelayMs else math.max(0L, r.getLong(1))),
         (if (r.isNullAt(2)) Array.empty[String]
          else r.getSeq[String](2).toArray)))
       .toMap
@@ -101,7 +124,7 @@ object Politeness {
   def robotsStage(robots: DataFrame,
                   maxHosts: Long = 20000000L): DataFrame => DataFrame =
     if (robots.count() <= maxHosts) {
-      val bc = robotsBroadcast(robots, maxHosts)
+      val bc = robotsBroadcastUnchecked(robots)
       applyRobotsMap(_, bc)
     } else applyRobots(_, robots)
 
@@ -117,20 +140,7 @@ object Politeness {
       bc.value.get(host) match {
         case None => DefaultDelayMs
         case Some((delay, prefixes)) =>
-          val path = {
-            val schemeEnd = if (url == null) -1 else url.indexOf("://")
-            if (schemeEnd < 0) ""
-            else {
-              val slash = url.indexOf('/', schemeEnd + 3)
-              if (slash < 0) ""
-              else {
-                var end = url.indexOf('?', slash)
-                val hash = url.indexOf('#', slash)
-                if (hash >= 0 && (end < 0 || hash < end)) end = hash
-                if (end < 0) url.substring(slash) else url.substring(slash, end)
-              }
-            }
-          }
+          val path = pathOf(url)
           var i = 0
           var hit = false
           while (i < prefixes.length && !hit) {

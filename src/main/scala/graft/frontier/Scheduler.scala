@@ -27,6 +27,13 @@ object Scheduler {
     * A pre-materialized `host` column (the north-rule frontier table
     * stores one — its layout is keyed on host_hash) is trusted as-is;
     * deriving it from the url is the fallback for raw seed lists.
+    *
+    * PRECONDITION on a stored host column: `host IS NULL` iff
+    * `url IS NULL` (automatic when the writer derived host from url,
+    * as checkpointRound and the bench table writer do). A non-null host
+    * paired with a null url would make the host-partitioned dedupe keep
+    * one null row PER HOST where the batch dedupe keeps one globally —
+    * the branch-equivalence contract assumes the writer invariant.
     */
   def canonicalize(frontier: DataFrame): DataFrame = {
     val withHost =

@@ -25,8 +25,16 @@ object Ann {
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity. A zero-norm vector has no direction: its cosine
+    * is the -2.0 sentinel (below any real cosine, same convention as the
+    * scalar assignment loop in [[withListId]]) — the bare division would
+    * THROW under this Spark build's default ANSI mode (DIVIDE_BY_ZERO)
+    * and kill the whole query for one degenerate embedding.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom === 0.0, lit(-2.0)).otherwise(dot(a, b) / denom)
+  }
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself). The query side is broadcast —
@@ -101,9 +109,19 @@ object Ann {
     */
   private def withListId(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
+    // centroid norms PRECOMPUTED into the broadcast: re-summing them
+    // inside the per-row loop doubled the FLOPs of the hottest loop in
+    // IVF assignment — and kmeansCentroids re-runs this every Lloyd
+    // iteration
     val centArr = centroids.select(col("centroid_id").cast("long"), col("embedding"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map { r =>
+        val ce = r.getSeq[Float](1).toArray
+        var cn = 0.0
+        var j = 0
+        while (j < ce.length) { cn += ce(j).toDouble * ce(j); j += 1 }
+        (r.getLong(0), ce, math.sqrt(cn))
+      }
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(centArr)
     val assignUdf = udf((emb: Seq[Float]) => {
@@ -114,14 +132,11 @@ object Ann {
       val enorm = math.sqrt(en)
       var bestId = -1L
       var bestCos = Double.NegativeInfinity
-      for ((cid, ce) <- bc.value) {
+      for ((cid, ce, cnorm) <- bc.value) {
         var d = 0.0
-        var cn = 0.0
         var j = 0
-        while (j < e.length) {
-          d += e(j).toDouble * ce(j); cn += ce(j).toDouble * ce(j); j += 1
-        }
-        val denom = enorm * math.sqrt(cn)
+        while (j < e.length) { d += e(j).toDouble * ce(j); j += 1 }
+        val denom = enorm * cnorm
         val cos = if (denom == 0.0) -2.0 else d / denom
         if (cos > bestCos) { bestCos = cos; bestId = cid } // first max = min id
       }
@@ -240,6 +255,16 @@ object Ann {
     */
   def lshNearDupPairs(df: DataFrame, cosMilliThreshold: Long,
                       bands: Int = 3, bitsPerBand: Int = 16): DataFrame = {
+    // fail fast with a DIMENSION error: signBucket reads positions up to
+    // bands*bitsPerBand, and under default ANSI mode an out-of-range
+    // element_at would abort the job mid-flight with an opaque
+    // array-index exception instead. One-row probe (limit-1, cheap at
+    // any scale) — catches the config error without scanning the table.
+    df.select(size(col("embedding"))).head(1).foreach { r =>
+      val d = r.getInt(0)
+      require(d >= bands * bitsPerBand,
+        s"embedding dims $d < bands*bitsPerBand = ${bands * bitsPerBand}")
+    }
     val bandKeys = (0 until bands).map(b =>
       struct(lit(b).as("band"), signBucket(col("embedding"), bitsPerBand, b).as("bv")))
     val keyed = df.select(col("vec_id"), col("embedding"),

@@ -148,6 +148,14 @@ object Multimodal {
 
   val phashUdf = udf { (bytes: Array[Byte]) => decode(bytes).map(phash64) }
 
+  /** ONE decode yielding (w, h, phash64): the per-row ImageIO decode is
+    * the dominant cost of the crawl→table bridge (q59), and calling
+    * [[imageMetaUdf]] + [[phashUdf]] separately paid it twice.
+    */
+  val imageMetaPhashUdf = udf { (bytes: Array[Byte]) =>
+    decode(bytes).map(img => (img.getWidth, img.getHeight, phash64(img)))
+  }
+
   val psnrUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
     for (ia <- decode(a); ib <- decode(b)) yield psnr(ia, ib)
   }
@@ -198,7 +206,7 @@ object Multimodal {
     extracted
       .withColumn("mt", mt)
       .where(col("mt.ok") && col("mt.type") === "image")
-      .withColumn("meta", imageMetaUdf(col("extracted")))
+      .withColumn("meta", imageMetaPhashUdf(col("extracted")))
       .where(col("meta").isNotNull)
       .select(
         graft.core.FieldOps.fieldGet(col("fields"), "WARC-Record-ID").as("image_id"),
@@ -207,7 +215,7 @@ object Multimodal {
         col("meta._2").as("h"),
         col("mt.subtype").as("fmt"),
         graft.core.FieldOps.fieldGet(col("fields"), "WARC-Target-URI").as("caption"),
-        phashUdf(col("extracted")).as("phash"))
+        col("meta._3").as("phash"))
   }
 
   def phashNearDupPairs(images: DataFrame, maxHamming: Int = 7): DataFrame = {
@@ -238,12 +246,19 @@ object Multimodal {
       col("fmt"), col("caption").as("caption_a"))
     val r = b.select(col("image_id"), col("bytes").as("bytes_b"),
       col("caption").as("caption_b"))
+    // flags are COALESCED to false: an undecodable image yields null
+    // psnr, and three-valued logic would otherwise let the null slip
+    // through fidelityProblems' WHERE — the most-broken payload (can't
+    // decode at all) must fail the gate, not vanish from it. Null
+    // captions likewise. "jpg" is the same lossy codec as "jpeg"
+    // (encode() handles both); byte-exact comparison would blanket-fail
+    // it at any PSNR.
     l.join(r, Seq("image_id"))
       .withColumn("psnr", psnrUdf(col("bytes_a"), col("bytes_b")))
-      .withColumn("pixel_ok",
-        when(col("fmt") === "jpeg", col("psnr") >= 40.0)
-          .otherwise(col("bytes_a") === col("bytes_b")))
-      .withColumn("caption_ok", col("caption_a") === col("caption_b"))
+      .withColumn("pixel_ok", coalesce(
+        when(col("fmt").isin("jpeg", "jpg"), col("psnr") >= 40.0)
+          .otherwise(col("bytes_a") === col("bytes_b")), lit(false)))
+      .withColumn("caption_ok", col("caption_a") <=> col("caption_b"))
       .select(col("image_id"), col("psnr"), col("pixel_ok"), col("caption_ok"))
   }
 
