@@ -53,7 +53,10 @@ object FieldOps {
     */
   def getU64Strict(fields: Column, name: String): Column = {
     val v = fieldGet(fields, name)
-    when(v.rlike("^[0-9]+$"), v.cast("long"))
+    // try_cast, not cast: an all-digit run above Long.MaxValue passes
+    // the regex, and under default ANSI mode a plain cast would throw
+    // instead of honoring the documented null-when-invalid contract
+    when(v.rlike("^[0-9]+$"), v.try_cast("long"))
   }
 
   /** RFC-3339 date (WARC-Date, src/header/fields.rs:80-86). Null when invalid. */
@@ -85,12 +88,58 @@ object FieldOps {
   def urlParses(v: Column): Column =
     v.rlike("^[A-Za-z][A-Za-z0-9+.-]*:\\S*$")
 
-  /** IP address validity (v4 dotted-quad or bracketless v6,
-    * src/header/fields.rs:122-125).
+  private val Ip4Pat = java.util.regex.Pattern.compile(
+    "^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$")
+
+  def isValidIp4(s: String): Boolean = Ip4Pat.matcher(s).matches()
+
+  /** Real bracketless-IPv6 grammar (the reference parses with an actual
+    * IpAddr parser, src/header/fields.rs:122-125): at most one `::`,
+    * 1–4 hex digits per group, exactly 8 units without `::` and at most
+    * 7 with, optional trailing IPv4-mapped dotted quad counting as two
+    * units. The old `[0-9A-Fa-f:]+:[0-9A-Fa-f:]*` stand-in accepted
+    * `:::::` and rejected valid `::ffff:192.0.2.128`.
     */
-  def ipParses(v: Column): Column =
-    v.rlike("^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$") ||
-      v.rlike("^[0-9A-Fa-f:]+:[0-9A-Fa-f:]*$")
+  def isValidIp6(s: String): Boolean = {
+    if (s == null || !s.contains(':')) return false
+    val dc = s.indexOf("::")
+    if (dc >= 0 && s.indexOf("::", dc + 1) >= 0) return false
+    def groups(part: String): Option[Seq[String]] =
+      if (part.isEmpty) Some(Nil)
+      else {
+        val g = part.split(":", -1).toSeq
+        if (g.exists(_.isEmpty)) None else Some(g)
+      }
+    val (headOpt, tailOpt) =
+      if (dc >= 0) (groups(s.substring(0, dc)), groups(s.substring(dc + 2)))
+      else (groups(s), Some(Seq.empty[String]))
+    (headOpt, tailOpt) match {
+      case (Some(h), Some(t)) =>
+        val all = h ++ t
+        def isHexGroup(g: String) = g.nonEmpty && g.length <= 4 &&
+          g.forall(c => Character.digit(c, 16) >= 0)
+        val v4Tail = all.nonEmpty && all.last.contains('.') &&
+          isValidIp4(all.last)
+        val hexGroups = if (v4Tail) all.init else all
+        if (!hexGroups.forall(isHexGroup)) return false
+        val units = hexGroups.length + (if (v4Tail) 2 else 0)
+        if (dc >= 0) units <= 7 else units == 8
+      case _ => false
+    }
+  }
+
+  def isValidIp(s: String): Boolean = isValidIp4(s) || isValidIp6(s)
+
+  private val ipUdf = udf { (s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Boolean]
+    else java.lang.Boolean.valueOf(isValidIp(s))
+  }
+
+  /** IP address validity (v4 dotted-quad or bracketless v6,
+    * src/header/fields.rs:122-125). Null in, null out — like the rlike
+    * form it replaces.
+    */
+  def ipParses(v: Column): Column = ipUdf(v)
 
   /** Media-type parse (type/subtype with ;attr=value parameters, grammar
     * src/parse/fields.rs:87-126: token "/" token then many0 of
@@ -107,11 +156,24 @@ object FieldOps {
     // "k=v;k=v" for str_to_map (tokens never contain whitespace or ';')
     val paramsBody = regexp_replace(
       regexp_replace(v, s"^$tchar/$tchar\\s*;?\\s*", ""), "\\s*;\\s*", ";")
+    // duplicate parameter names (legal-shaped, attacker-common:
+    // ';msgtype=a;msgtype=b') would make str_to_map THROW under the
+    // default EXCEPTION map-key policy — dedupe to the FIRST occurrence
+    // explicitly, then build the map from the surviving entries. The
+    // arrays are per-row tiny (a handful of params), so the
+    // array_position scan is O(params²) on single digits.
+    val kvs = filter(split(paramsBody, ";"), e => length(e) > 0)
+    val entries = transform(kvs, e => struct(
+      substring_index(e, "=", 1).as("key"),
+      substring_index(e, "=", -1).as("value")))
+    val keys = transform(entries, e => e.getField("key"))
+    val dedup = filter(entries, (e, i) =>
+      array_position(keys, e.getField("key")) === (i + 1).cast("long"))
     struct(
       when(ok, lower(regexp_extract(v, s"^($tchar)/", 1))).as("type"),
       when(ok, lower(regexp_extract(v, s"^$tchar/($tchar)", 1))).as("subtype"),
       ok.as("ok"),
-      when(ok && length(paramsBody) > 0, str_to_map(paramsBody, lit(";"), lit("=")))
+      when(ok && length(paramsBody) > 0, map_from_entries(dedup))
         .when(ok, map())
         .as("parameters")
     )

@@ -23,6 +23,13 @@ object HeaderSerde {
     */
   def parse(bytes: Array[Byte]): Option[(String, Seq[Field])] = {
     val text = new String(bytes, StandardCharsets.UTF_8)
+    // the lenient String constructor substitutes U+FFFD for invalid
+    // sequences — detect it so malformed UTF-8 is REJECTED (reference
+    // behavior) instead of silently corrupted (a re-serialize would
+    // emit the 3-byte replacement char and shift every downstream
+    // position). A literal U+FFFD in valid input is indistinguishable
+    // by construction and also rejected — same trade the doc promises.
+    if (text.indexOf('�') >= 0) return None
     val unfolded = text.replaceAll("(?:\r\n|\n)[ \t]+", " ")
     val lines = unfolded.split("\r\n", -1)
     if (lines.length < 2 || !lines.head.startsWith("WARC/")) None

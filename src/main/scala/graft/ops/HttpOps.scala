@@ -67,9 +67,12 @@ object HttpOps {
     val sl = statusLine.split(" ", 3)
     if (sl.length < 2 || !sl(0).startsWith("HTTP/"))
       return HttpParsed(ok = false, 0, "", Nil, Array.empty, "bad_status_line")
-    val status = sl(1).takeWhile(_.isDigit) match {
-      case "" => return HttpParsed(ok = false, 0, "", Nil, Array.empty, "bad_status_code")
-      case d  => d.toInt
+    // toIntOption, not toInt: an oversized digit run ('99999999999 OK')
+    // is corrupt input and must yield the error row, not throw
+    // NumberFormatException out of the UDF and kill the task
+    val status = sl(1).takeWhile(_.isDigit).toIntOption match {
+      case None    => return HttpParsed(ok = false, 0, "", Nil, Array.empty, "bad_status_code")
+      case Some(d) => d
     }
     val reason = if (sl.length == 3) sl(2) else ""
     val headers = lines.tail.filter(_.nonEmpty).flatMap { l =>
@@ -87,11 +90,14 @@ object HttpOps {
         if (teNames.last == "chunked") decodeChunked(rawBody).map(_._1)
         else Right(rawBody) // unframed response: read to end
       } else headerGet(headers, "Content-Length") match {
-        case Some(cl) if cl.forall(_.isDigit) && cl.nonEmpty =>
+        case Some(cl) if cl.forall(_.isDigit) && cl.nonEmpty &&
+            cl.toLongOption.isDefined =>
           // exact-length framing like the reference: a body shorter than
           // the declared Content-Length is a truncation error, not a
           // silent prefix (the reference's recv loop would block on the
-          // missing bytes; in whole-payload context that's corruption)
+          // missing bytes; in whole-payload context that's corruption).
+          // toLongOption in the guard: a >Long digit run falls through
+          // to invalid_content_length instead of throwing.
           val n = cl.toLong
           if (n > rawBody.length) Left("truncated_body")
           else Right(rawBody.take(n.toInt))
@@ -140,14 +146,21 @@ object HttpOps {
           val sizeHex = line.split(';')(0).trim
           if (sizeHex.isEmpty || !sizeHex.forall(c => isHexDigit(c)))
             return Left("chunked_bad_size")
-          val size = java.lang.Long.parseLong(sizeHex, 16)
+          // a hex run above Long.MaxValue is attacker-shaped input, not
+          // an exception: parseLong would throw out of the UDF
+          val size =
+            try java.lang.Long.parseLong(sizeHex, 16)
+            catch { case _: NumberFormatException => return Left("chunked_bad_size") }
           if (size == 0) {
             // trailer lines until blank
             val trailers = Iterator.continually(readLine())
               .takeWhile(l => l.isDefined && l.get.nonEmpty).flatten.toSeq
             return Right((out.toByteArray, trailers))
           }
-          if (pos + size + 2 > data.length) return Left("chunked_truncated")
+          // compare size against the REMAINING length: the additive form
+          // (pos + size + 2) can overflow Long for a near-MaxValue size
+          // and skip the truncation check into a garbage write
+          if (size > data.length.toLong - pos - 2) return Left("chunked_truncated")
           out.write(data, pos, size.toInt)
           pos += size.toInt
           if (!(data(pos) == '\r' && data(pos + 1) == '\n')) return Left("chunked_bad_boundary")

@@ -68,7 +68,10 @@ object MessageJson {
           array(lit("WARC-Record-ID"),
             concat(lit("<urn:graft:"), col("id").cast("string"), lit(">"))),
           array(lit("WARC-Type"), lit("resource")),
-          array(lit("Content-Length"), length(col("payload")).cast("string")))
+          // octet_length, not length: Content-Length is a BYTE count and
+          // a char count breaks round-trips of non-ASCII payloads — the
+          // same fix MessageCbor.scala:87 already carries
+          array(lit("Content-Length"), octet_length(col("payload")).cast("string")))
           .as("fields")).as("Header"))).as("msg"))
     val chunks = ExportImportOp.exportChunks(df, idCol, payloadCol)
       .select(col("id"), (col("chunk_idx") + 2L).as("msg_seq"),
@@ -158,7 +161,8 @@ object MessageJson {
         s => unbase64(s.getField("data")).cast("string")), "").as("payload"))
     agg.select(col("id"), col("n_messages"), col("payload"),
       (col("meta_seq") === 0L && col("header_seq") === 1L &&
-        try_element_at(col("cl_field"), lit(2)) === length(col("payload")).cast("string") &&
+        // byte count, mirroring the export side (octet_length)
+        try_element_at(col("cl_field"), lit(2)) === octet_length(col("payload")).cast("string") &&
         col("be.crc32") === crc32(col("payload").cast("binary")) &&
         col("be.crc32c") === graft.functions.GraftFunctions.crc32c(col("payload").cast("binary")) &&
         col("be.xxh3") === graft.functions.GraftFunctions.xxh3(

@@ -109,8 +109,12 @@ object UrlPath {
     * non-empty escaped path segments, escaped query; unparseable URL →
     * one escaped component.
     */
+  // compiled once: this runs once per extracted record inside a UDF —
+  // a per-call "...".r paid a Pattern.compile per row
+  private val SchemeRest = "^([A-Za-z][A-Za-z0-9+.-]*):(.*)$".r
+
   def urlToPathComponents(url: String): Seq[String] = {
-    val m = "^([A-Za-z][A-Za-z0-9+.-]*):(.*)$".r
+    val m = SchemeRest
     url match {
       case m(scheme, rest) =>
         val out = scala.collection.mutable.ArrayBuffer(scheme.toLowerCase)

@@ -39,9 +39,9 @@ object VerifyOp {
   private val DigitsPattern = Pattern.compile("^[0-9]+$")
   private val MediaTypePattern = Pattern.compile(
     "^[!#$%&'*+.^_`|~0-9A-Za-z-]+/[!#$%&'*+.^_`|~0-9A-Za-z-]+(\\s*;.*)?$")
-  private val Ip4Pattern = Pattern.compile(
-    "^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$")
-  private val Ip6Pattern = Pattern.compile("^[0-9A-Fa-f:]+:[0-9A-Fa-f:]*$")
+  // IP validity delegates to FieldOps.isValidIp — ONE grammar for the
+  // verify rule and the typed getter (the old local v6 stand-in
+  // accepted ':::::' and rejected valid IPv4-mapped addresses)
   private val UriPattern = Pattern.compile("^[A-Za-z][A-Za-z0-9+.-]*:\\S*$")
 
   private def dateParses(s: String): Boolean =
@@ -93,7 +93,7 @@ object VerifyOp {
     ip.foreach { v =>
       if (isType("warcinfo", "conversion", "continuation"))
         out += (("prohibited_field", "WARC-IP-Address"))
-      if (!Ip4Pattern.matcher(v).matches() && !Ip6Pattern.matcher(v).matches())
+      if (!graft.core.FieldOps.isValidIp(v))
         out += (("invalid_ip_address", v))
     }
     // RefersTo prohibited on 5 types (482-508)

@@ -310,9 +310,15 @@ object WarcBytes {
     val out = new ByteArrayOutputStream()
     records.foreach { r =>
       val plain = encodeRecords(Seq(r))
-      val gz = new java.util.zip.GZIPOutputStream(out) { `def`.setLevel(Deflater.BEST_SPEED) }
+      // end the native Deflater per member (close() would close the
+      // shared sink; finish() alone strands a zlib context per record)
+      val gz = new java.util.zip.GZIPOutputStream(out) {
+        `def`.setLevel(Deflater.BEST_SPEED)
+        def end(): Unit = `def`.end()
+      }
       gz.write(plain)
       gz.finish()
+      gz.end()
     }
     out.toByteArray
   }
@@ -333,7 +339,8 @@ object WarcBytes {
     * (decode.rs:733-753, compress.rs start_next_segment).
     */
   def gunzipConcatenated(bytes: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(bytes.length * 3)
+    val out = new ByteArrayOutputStream( // clamp: * 3 overflows Int past ~715 MiB input
+      math.min(bytes.length.toLong * 3, (Int.MaxValue - 8).toLong).toInt)
     var pos = 0
     while (pos < bytes.length) {
       require(pos + 2 <= bytes.length &&
@@ -484,7 +491,8 @@ object WarcBytes {
     try {
       in.setContinuous(true)
       dict.foreach(in.setDict)
-      val out = new ByteArrayOutputStream(bytes.length * 3)
+      val out = new ByteArrayOutputStream( // clamp: * 3 overflows Int past ~715 MiB input
+      math.min(bytes.length.toLong * 3, (Int.MaxValue - 8).toLong).toInt)
       val buf = new Array[Byte](65536)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }

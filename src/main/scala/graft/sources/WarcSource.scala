@@ -220,12 +220,18 @@ object WarcSource {
             val plain = WarcBytes.encodeRecords(Seq(r))
             codec match {
               case "gzip" =>
-                // one gzip member per record: record-at-time compression
+                // one gzip member per record: record-at-time compression.
+                // finish() flushes the member but only close() would end
+                // the native Deflater — and close() would also close the
+                // shared sink — so end it explicitly: 150k members/task
+                // must not strand 150k native zlib contexts on the Cleaner
                 val gz = new java.util.zip.GZIPOutputStream(out) {
                   `def`.setLevel(Deflater.BEST_SPEED)
+                  def end(): Unit = `def`.end()
                 }
                 gz.write(plain)
                 gz.finish()
+                gz.end()
               case "zstd" => out.write(zctx.get.compress(plain))
               case _ => out.write(plain)
             }

@@ -11,6 +11,23 @@ class ExtractPathSpec extends AnyFunSuite {
 
   private val none = (_: Seq[String]) => false
 
+  test("mediaType: duplicate parameter names dedupe (first wins), never throw") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the default EXCEPTION map-key policy made str_to_map THROW on
+    // ';msgtype=a;msgtype=b' — legal-shaped, attacker-common input
+    val mt = Seq("application/http;msgtype=response;msgtype=request",
+        "text/plain", "image/png;a=1;b=2")
+      .toDF("v").select(graft.core.FieldOps.mediaType(col("v")).as("mt"))
+      .select(col("mt.ok"), col("mt.type"), col("mt.parameters"))
+      .collect()
+    assert(mt(0).getBoolean(0) &&
+      mt(0).getMap[String, String](2).get("msgtype").contains("response"))
+    assert(mt(1).getBoolean(0) && mt(1).getMap[String, String](2).isEmpty)
+    assert(mt(2).getMap[String, String](2) == Map("a" -> "1", "b" -> "2"))
+  }
+
   test("no conflicts → components unchanged") {
     assert(UrlPath.resolveTargetPath(Seq("https", "h.test", "a", "b.html"),
       isTruncated = false, 0x1234L, none, none) ==

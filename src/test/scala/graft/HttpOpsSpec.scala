@@ -116,6 +116,16 @@ class HttpOpsSpec extends AnyFunSuite {
     assert(!resp("no terminator at all").ok)
     val trunc = resp("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n5\r\nhel")
     assert(!trunc.ok && trunc.error == "chunked_truncated")
+    // attacker-shaped numerics must yield error rows, never throw out of
+    // the UDF: oversized status code, >Long Content-Length, >Long hex
+    // chunk size
+    val bigStatus = resp("HTTP/1.1 99999999999 OK\r\n\r\n")
+    assert(!bigStatus.ok && bigStatus.error == "bad_status_code")
+    val bigCl = resp("HTTP/1.1 200 OK\r\nContent-Length: 99999999999999999999\r\n\r\nx")
+    assert(!bigCl.ok && bigCl.error == "invalid_content_length")
+    val bigChunk = resp(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nFFFFFFFFFFFFFFFF\r\nx")
+    assert(!bigChunk.ok && bigChunk.error == "chunked_bad_size")
   }
 
   test("comma-list split: lowercase, trim, order (h1/header/fields.rs:15-31)") {

@@ -66,6 +66,22 @@ class VerifyChecksSpec extends AnyFunSuite {
       == Seq("invalid_ip_address"))
   }
 
+  test("IP literal grammar: real IPv6 incl. IPv4-mapped; colon garbage rejected") {
+    import graft.core.FieldOps.isValidIp
+    // valid v6 forms the old [0-9A-Fa-f:]+ stand-in mishandled
+    for (ip <- Seq("::", "::1", "fe80::1", "2001:db8::8a2e:370:7334",
+                   "1:2:3:4:5:6:7:8", "::ffff:192.0.2.128",
+                   "1:2:3:4:5:6:192.0.2.128", "10.0.0.1"))
+      assert(isValidIp(ip), ip)
+    for (ip <- Seq(":::::", ":", "1::2::3", "1:2:3:4:5:6:7:8:9",
+                   "1:2:3:4:5:6:7", "12345::", "g::1", "::ffff:192.0.2.999",
+                   "1.2.3", "", "example.test", "::ffff:1.2.3.4:5"))
+      assert(!isValidIp(ip), ip)
+    assert(kinds(base("response", "WARC-IP-Address" -> "::ffff:192.0.2.128")).isEmpty)
+    assert(kinds(base("response", "WARC-IP-Address" -> ":::::"))
+      == Seq("invalid_ip_address"))
+  }
+
   test("case-insensitive multimap semantics: first match wins, any casing") {
     val f = base("resource").map(x =>
       if (x.name == "WARC-Type") Field("wArC-tYpE", "resource") else x)
