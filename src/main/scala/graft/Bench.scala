@@ -494,8 +494,10 @@ object Bench {
     // by a previous bench run with the same key is byte-identical, so a
     // complete (_SUCCESS-marked) dir is REUSED — the write cost ~40 s of
     // the r04.0 budget before the children could even spawn
+    // v2: the seed-URL generator's duplicate injection changed (full-URL
+    // duplicates, ~10% as documented) — v1 tables hold the old content
     val frontierTablePath =
-      s"/tmp/graft-bench-frontier-v1-$frontierN-$nHosts-$scaleParts"
+      s"/tmp/graft-bench-frontier-v2-$frontierN-$nHosts-$scaleParts"
     val earlySpark: SparkSession = session(cpus, 2 * cpus)
     def frontierSeedDf = {
       import org.apache.spark.sql.functions.col

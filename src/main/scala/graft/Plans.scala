@@ -20,6 +20,10 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // a misspelled requested name must be reported, not silently skipped
+    val unknown = names -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(s"[plans] unknown query names: ${unknown.mkString(", ")}")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (names(name)) {
         println(s"\n===== $name =====")

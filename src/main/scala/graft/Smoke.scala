@@ -14,7 +14,9 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.entry(spark)
+    // cached: count() + show() would otherwise each run the full
+    // frontier round
+    val df = SparkEntry.entry(spark).persist()
     println("ENTRY_ROWS=" + df.count())
     df.show(5, truncate = false)
     spark.stop()

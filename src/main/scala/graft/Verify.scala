@@ -22,8 +22,15 @@ object Verify {
       if (only.isEmpty || only.contains(name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: an OOM/fatal error must kill the run, not leave
+        // it limping through the rest of the suite on a broken JVM.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a PREVIOUS run's parquet behind —
+        // the DuckDB compare would score stale (possibly green) results
+        try org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name"))
+        catch { case _: Exception => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -86,7 +86,15 @@ object FrontierStream {
         (_: Long, it: Iterator[KeyedUrl], state: GroupState[BucketState]) =>
           val cf = if (state.exists) CuckooFilter.deserialize(state.get.filter)
                    else CuckooFilter.create(expectedPerBucket)
-          val out = it.filter { u =>
+          // deterministic in-batch winner: two sightings of one url_key
+          // in the same micro-batch must emit the SAME row on replay —
+          // the group iterator's order is undefined, so sort by the
+          // batch scheduler's total order first (dedupeWithinBatch picks
+          // the min (priority_band, url) winner; politenessSchedule
+          // sorts the same way)
+          val batch = it.toVector
+            .sortBy(u => (u.priority_band, u.canonical_url, u.url_key))
+          val out = batch.filter { u =>
             !cf.mightContain(u.url_key) && {
               // loud failure like the batch build: an over-capacity
               // bucket silently dropping inserts would re-emit every
@@ -95,8 +103,11 @@ object FrontierStream {
                 s"cuckoo state bucket over capacity (expectedPerBucket=$expectedPerBucket)")
               true
             }
-          }.toVector // materialize before the state write
-          state.update(BucketState(cf.serialize()))
+          }
+          // skip the state rewrite when nothing was inserted: an
+          // all-seen batch otherwise reserializes ~2 MB per bucket into
+          // the state store for an unchanged filter
+          if (out.nonEmpty) state.update(BucketState(cf.serialize()))
           out.iterator
       }
   }

@@ -86,12 +86,21 @@ object Synth {
 
   def makeSeedUrl(seed: Long, i: Long, nHosts: Int): SeedUrl = {
     val rng = new Rng(seed * 7777777L + i)
-    // Zipf-ish skew: squared uniform concentrates on low host ids
-    val u = rng.nextDouble()
-    val host = (u * u * nHosts).toInt
-    // ~10% duplicates: repeat an earlier row's path deterministically
+    rng.nextDouble() // preserved draw order (host now comes from eRng)
+    // ~10% duplicates: repeat an earlier row's FULL canonical URL. Both
+    // host AND path derive from the effective row's rng — deriving only
+    // the path (the earlier form) left the hosts independent, so the
+    // actual duplicate rate was the accidental host-collision rate
+    // (~0.1%) and every dedupe stage fed by this fixture ran
+    // near-vacuous. For non-duplicate rows eRng replays this row's own
+    // sequence, so the Zipf-ish host skew (squared uniform concentrates
+    // on low ids) is unchanged.
     val effective = if (i > 10 && rng.nextInt(10) == 0) i - 1 - rng.nextInt(10) else i
-    val path = new Rng(seed * 7777777L + effective).nextLong().abs % 100000
+    val eRng = new Rng(seed * 7777777L + effective)
+    val ue = eRng.nextDouble()
+    val host = (ue * ue * nHosts).toInt
+    // floorMod: `.abs %` is negative for Long.MinValue
+    val path = math.floorMod(eRng.nextLong(), 100000L)
     SeedUrl(f"https://h$host%05d.example.test/p/$path",
       rng.nextInt(4),
       new Timestamp(1700000000000L + i * 1000L),
