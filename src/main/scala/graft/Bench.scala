@@ -275,11 +275,27 @@ object Bench {
       // capped at 1.0 (a still-disturbed round on one side can push the
       // raw ratio past ideal)
       val efficiency = math.min(1.0, tLow / (ratio * tHigh))
+      // symmetric estimators over the RAW trials (no steal filter on
+      // either side), printed alongside the headline so no reader has to
+      // re-derive from BENCH_DETAIL.json that the headline isn't
+      // estimator-shopping: min/min and median/median of all rounds.
+      def med(xs: collection.Seq[Double]): Double =
+        if (xs.isEmpty) Double.NaN
+        else { val s = xs.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0 }
+      val lowsRaw = lowsAll.map(_.sec)
+      val effMinMin = math.min(1.0,
+        (if (lowsRaw.nonEmpty) lowsRaw.min else Double.NaN) /
+          (ratio * (if (highs.nonEmpty) highs.min else Double.NaN)))
+      val effMedMed = math.min(1.0, med(lowsRaw) / (ratio * med(highs)))
       val core =
         s""""scaling":{"cores_low":$scaleLow,"cores_high":$scaleHigh,""" +
           s""""n":$frontierN,"sec_low":${f(tLow)},"sec_high":${f(tHigh)},""" +
           s""""urls_per_sec_low":${f(frontierN / tLow)},"urls_per_sec_high":${f(frontierN / tHigh)},""" +
-          s""""efficiency":${f(efficiency)},"rounds_low":${lows.size},"rounds_high":${highs.size}"""
+          s""""efficiency":${f(efficiency)},""" +
+          s""""efficiency_minmin":${f(effMinMin)},"efficiency_medmed":${f(effMedMed)},""" +
+          s""""rounds_low":${lows.size},"rounds_high":${highs.size}"""
       (tLow, tHigh, core)
     }
     def headlineJson(tHigh: Double): String =

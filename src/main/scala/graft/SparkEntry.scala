@@ -151,18 +151,49 @@ object SparkEntry {
     s"${new java.io.File(dir).getName}-v$v-$len"
   }
 
+  /** Build-once /tmp fixture hygiene shared by the gate fixtures:
+    * builds into a fresh `.build-*` temp dir under `root`, atomically
+    * renames it to `root/key` (a concurrent Verify/Bench JVM losing the
+    * rename race adopts the winner's complete dir instead of observing
+    * one mid-rebuild), and sweeps stale sibling keys — old fixture
+    * versions, other sf sizes, and dead half-built temps older than an
+    * hour — so /tmp does not accrete across version bumps. Returns the
+    * final dir path; `.ok` inside it marks a complete build.
+    */
+  private def buildOnceDir(root: String, key: String)
+                          (build: java.io.File => Unit): String = {
+    val rootF = new java.io.File(root)
+    val finalF = new java.io.File(rootF, key)
+    if (!new java.io.File(finalF, ".ok").isFile) {
+      rootF.mkdirs()
+      val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+        new org.apache.hadoop.conf.Configuration())
+      Option(rootF.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+        val liveTemp = f.getName.startsWith(".build-") &&
+          System.currentTimeMillis() - f.lastModified() < 3600L * 1000
+        if (f.getName != key && !liveTemp)
+          lfs.delete(new org.apache.hadoop.fs.Path(f.getAbsolutePath), true)
+      }
+      val tmpF = new java.io.File(rootF,
+        s".build-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      tmpF.mkdirs()
+      build(tmpF)
+      new java.io.File(tmpF, ".ok").createNewFile()
+      if (!tmpF.renameTo(finalF)) {
+        lfs.delete(new org.apache.hadoop.fs.Path(tmpF.getAbsolutePath), true)
+        require(new java.io.File(finalF, ".ok").isFile,
+          s"fixture $finalF unusable after losing the rename race")
+      }
+    }
+    finalF.getAbsolutePath
+  }
+
   def splitGateFixture(s: SparkSession, dir: String, codec: String): String = {
     import s.implicits._
     val gz = codec == "gzip"
     val sub = if (gz) "graft-warc-split-gate" else "graft-warc-zsplit-gate"
     val fname = if (gz) "big.warc.gz" else "big.warc.zst"
-    val tmp = s"/tmp/$sub/${fixtureKey(s, dir, 1)}"
-    val file = s"$tmp/$fname"
-    val ok = new java.io.File(file + ".ok")
-    if (!ok.isFile || !new java.io.File(file).isFile) {
-      org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
-      new java.io.File(tmp).mkdirs()
+    val tmp = buildOnceDir(s"/tmp/$sub", fixtureKey(s, dir, 1)) { bdir =>
       val (baseLen, lenStep, seedSalt, urn) =
         if (gz) (1600, 137, 7L, "split") else (600, 53, 11L, "zsplit")
       val recs = t(s, dir, "orders").select(col("o_orderkey"))
@@ -179,10 +210,9 @@ object SparkEntry {
               Digests.compute("sha1", bytes).get)),
             Field("Content-Length", len.toString)), bytes)
         }
-      graft.sources.WarcSource.writeSingleFile(recs, file, codec)
-      ok.createNewFile()
+      graft.sources.WarcSource.writeSingleFile(recs, s"$bdir/$fname", codec)
     }
-    file
+    s"$tmp/$fname"
   }
 
   /** Build-once FLEET fixture for the directory split gate (q71): one
@@ -195,12 +225,8 @@ object SparkEntry {
     */
   def fleetGateFixture(s: SparkSession, dir: String): String = {
     import s.implicits._
-    val tmp = s"/tmp/graft-warc-fleet-gate/${fixtureKey(s, dir, 1)}"
-    val ok = new java.io.File(tmp, ".ok")
-    if (!ok.isFile) {
-      org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
-      new java.io.File(tmp).mkdirs()
+    buildOnceDir("/tmp/graft-warc-fleet-gate", fixtureKey(s, dir, 1)) { bdir =>
+      val tmp = bdir.getAbsolutePath
       def mkRec(k: Long, baseLen: Int, lenStep: Int, fname: String): graft.core.WarcRecord = {
         val len = baseLen + (k % 7L).toInt * lenStep
         val bytes = new Array[Byte](len)
@@ -228,9 +254,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$tmp/b.warc.zst"),
         graft.sources.WarcBytes.encodeZstd(recsB, dict = Some(dict),
           compressDict = true))
-      ok.createNewFile()
     }
-    tmp
   }
 
   /** Robots fixture derived from the same host universe: delay
@@ -544,6 +568,68 @@ object SparkEntry {
       val probe = sel(Scheduler.runRound(withHost,
         quarter(0).unionByName(quarter(1)), robots, maxPerHostPerRound = 40)).persist()
       fused.unionAll(probe.exceptAll(fused)).unionAll(fused.exceptAll(probe))
+    }),
+
+    // K-round crawl-loop ENDURANCE gate (the BASELINE.json production
+    // shape: schedule → fetch-sim → seen-append → next round, K=5):
+    // each round discovers a frontier slice (slice = floor(key/7)%5, so
+    // canonical duplicates — period 12000 in the key — land in
+    // DIFFERENT rounds and the cross-round seen dedupe does real work),
+    // runs the FUSED zero-exchange round over host-clustered storage,
+    // checkpoints the batch to parquet (lineage cut — the plan that
+    // feeds the seen append must never re-execute after the append),
+    // and appends only the round's scheduled keys to the incremental
+    // clustered seen table (O(delta) per round). Before round 3 the
+    // session's cache and catalog are wiped — a simulated kill — and
+    // the loop resumes purely from storage (CheckpointSpec covers the
+    // fresh-JVM form). Structural guard: the seen table must hold at
+    // most buckets×(K+1) data files — an O(K²) rewrite-per-round blows
+    // the bound. Oracle: all K rounds re-derived in chained SQL CTEs.
+    "q72_crawl_endurance" -> ((s, dir) => {
+      val K = 5
+      val base = s"/tmp/graft-q72/${new java.io.File(dir).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
+      val emptySeen = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("host", StringType),
+          StructField("url_key", LongType))))
+      Scheduler.saveSeenClustered(emptySeen, s"$base/seenc", buckets = 8)
+      val sliceCol = pmod(floor(col("o_orderkey") / 7), lit(K))
+      (0 until K).foreach { r =>
+        if (r == 3) {
+          // simulated kill: no in-session state survives the boundary —
+          // every input below re-derives from storage or source tables
+          s.catalog.clearCache()
+          s.sql("DROP TABLE IF EXISTS graft_q72_frontier")
+        }
+        val slice = ft(s, dir, "orders").where(sliceCol === r)
+          .select(frontierUrl.as("url"),
+            pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band"))
+          .withColumn("host", Canonical.hostOf(col("url")))
+        s.sql("DROP TABLE IF EXISTS graft_q72_frontier")
+        slice.repartition(8, col("host"))
+          .write.mode("overwrite").bucketBy(8, "host")
+          .option("path", s"$base/frontier-$r").saveAsTable("graft_q72_frontier")
+        val sched = Scheduler.runRound(s.table("graft_q72_frontier"),
+          Scheduler.loadSeenClustered(s, s"$base/seenc", buckets = 8),
+          derivedRobots(s, dir), maxPerHostPerRound = 40,
+          frontierHostClustered = true, seenHostClustered = true)
+        Scheduler.checkpointRound(sched, base, r)
+        Scheduler.appendSeenClustered(
+          s.read.parquet(s"$base/rounds/round=$r").select(col("host"), col("url_key")),
+          s"$base/seenc", buckets = 8)
+      }
+      val nFiles = Option(new java.io.File(s"$base/seenc").listFiles)
+        .getOrElse(Array.empty[java.io.File]).count(_.getName.startsWith("part-"))
+      val filesOk = nFiles > 0 && nFiles <= 8 * (K + 1)
+      (0 until K).map { r =>
+        s.read.parquet(s"$base/rounds/round=$r")
+          .select(lit(r).cast("long").as("round"), col("canonical_url"),
+            col("host"), col("host_seq"),
+            col("scheduled_ms").cast("long").as("scheduled_ms"),
+            lit(filesOk).as("files_ok"))
+      }.reduce(_.unionAll(_))
     }),
 
     // Checkpoint/resume end-to-end (north rule "resumable from an
@@ -918,9 +1004,26 @@ object SparkEntry {
     "q54_cbor_messages" -> ((s, dir) => {
       val d = ft(s, dir, "documents")
       val msgs = graft.ops.MessageCbor.exportCborMessages(d, "doc_id", "text")
-      val parsed = graft.ops.MessageCbor.fromCborSeq(graft.ops.MessageCbor.toCborSeq(msgs))
-      graft.ops.MessageCbor.importValidate(parsed)
+      val seq = graft.ops.MessageCbor.toCborSeq(msgs)
+      def validated(sq: DataFrame) = graft.ops.MessageCbor.importValidate(
+        graft.ops.MessageCbor.fromCborSeq(sq))
         .select(col("id"), col("n_messages"), col("roundtrip_ok"))
+      val canon = validated(seq)
+      // FOREIGN-ENCODER injection (decoder generality, RFC 8949 §3.2):
+      // every item re-encoded with indefinite-length strings/arrays/maps
+      // and tagged integers — a different conforming encoder's legal
+      // output. Import must decode it IDENTICALLY; any divergence lands
+      // extra rows in the oracle hash via the exceptAll fold.
+      val foreignize = udf((b: Array[Byte]) => {
+        val out = new java.io.ByteArrayOutputStream(b.length + 64)
+        graft.core.Cbor.decodeSeq(b).foreach { v =>
+          val e = graft.core.Cbor.encodeIndefinite(v)
+          out.write(e, 0, e.length)
+        }
+        out.toByteArray
+      })
+      val foreign = validated(seq.withColumn("seq", foreignize(col("seq"))))
+      canon.unionAll(foreign.exceptAll(canon)).unionAll(canon.exceptAll(foreign))
     }),
 
     // Cuckoo-filter seen set (north rule: deletable fallback to the
@@ -1364,6 +1467,70 @@ object SparkEntry {
         (countDistinct(col("pid")) > 1).as("split_ok")).head()
       base.select(col("rec_id"), col("len_ok"), col("digest_ok"),
         col("file_ok"), lit(flags.getBoolean(0)).as("split_ok"))
+    }),
+
+    // REAL audio decode (closes the audio half of the last media stub):
+    // synthesize RIFF/WAVE PCM16 square-wave clips whose rate / channels /
+    // frames / amplitude are pure functions of the row index, run the
+    // javax.sound.sampled-backed extractor, and let the oracle re-derive
+    // every feature VALUE (not just booleans) from index arithmetic —
+    // square waves make RMS == peak == amp exactly.
+    "q73_audio_wav" -> ((s, _) =>
+      Synth.wavs(s, 200).toDF()
+        .select(col("audio_id"), Multimodal.wavFeaturesUdf(col("bytes")).as("f"))
+        .select(col("audio_id"),
+          col("f._1").cast("long").as("sample_rate"),
+          col("f._2").cast("long").as("channels"),
+          col("f._4").as("frames"),
+          col("f._5").cast("long").as("peak_i16"),
+          col("f._6").cast("long").as("rms_i16"))),
+
+    // Whole-file container wrappers (S4 closure, reference
+    // compress.rs:43-58): the same record set written as ONE zlib-deflate
+    // stream (.warc.zz) and ONE raw-brotli stream (.warc.br), read back
+    // through extension-selected wrapper decode in a single directory
+    // scan. Gates per record: exact payload length + sha1 block digest +
+    // which wrapper file it came from.
+    "q74_container_wrap" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = buildOnceDir("/tmp/graft-warc-wrap-gate", fixtureKey(s, dir, 1)) { bdir =>
+        def recs(urn: String, baseLen: Int, step: Int, fname: String) =
+          t(s, dir, "orders").select(col("o_orderkey"))
+            .where(pmod(col("o_orderkey"), lit(29)) === 0)
+            .repartition(8).as[Long].map { k =>
+              val len = baseLen + (k % 7L).toInt * step
+              val bytes = new Array[Byte](len)
+              val rng = new Synth.Rng(k * 0x9e3779b9L + 17L)
+              var j = 0
+              while (j < len) { bytes(j) = rng.nextLong().toByte; j += 1 }
+              graft.core.WarcRecord(0L, fname, "WARC/1.1", Seq(
+                Field("WARC-Record-ID", s"<urn:$urn:$k>"),
+                Field("WARC-Type", "resource"),
+                Field("WARC-Block-Digest", Digests.formatDigest("sha1",
+                  Digests.compute("sha1", bytes).get)),
+                Field("Content-Length", len.toString)), bytes)
+            }
+        graft.sources.WarcSource.writeSingleFile(
+          recs("zz", 900, 41, "w.warc.zz"), s"$bdir/w.warc.zz", "deflate")
+        graft.sources.WarcSource.writeSingleFile(
+          recs("br", 800, 37, "w.warc.br"), s"$bdir/w.warc.br", "brotli")
+      }
+      val ds = graft.sources.WarcSource.read(s, tmp, "*.warc.*").toDF()
+      val urn = regexp_extract(
+        FieldOps.fieldGet(col("fields"), "WARC-Record-ID"), "<urn:(zz|br):([0-9]+)>", 1)
+      val recId = regexp_extract(
+        FieldOps.fieldGet(col("fields"), "WARC-Record-ID"), "<urn:(zz|br):([0-9]+)>", 2)
+        .cast("long")
+      val digestOk = udf { (declared: String, bytes: Array[Byte]) =>
+        Digests.computeText("sha1", bytes).contains(declared)
+      }
+      val wantLen = when(urn === "zz", lit(900) + pmod(recId, lit(7)) * 41)
+        .otherwise(lit(800) + pmod(recId, lit(7)) * 37)
+      ds.select(recId.as("rec_id"), urn.as("wrapper"),
+        (length(col("bytes")) === wantLen).as("len_ok"),
+        digestOk(FieldOps.fieldGet(col("fields"), "WARC-Block-Digest"),
+          col("bytes")).as("digest_ok"),
+        (col("file").endsWith(lit(".warc.zz")) === (urn === "zz")).as("file_ok"))
     })
   )
 
@@ -1418,6 +1585,54 @@ object SparkEntry {
       |    o_orderkey
       |  FROM orders
       |)""".stripMargin
+
+  /** q72's K-round oracle: chained CTEs — round r schedules the
+    * floor(key/7)%K == r slice minus every earlier round's scheduled
+    * set, with per-round within-batch dedupe, robots, hot-host cap and
+    * politeness identical to the single-round oracles.
+    */
+  private def enduranceOracleSql(k: Int): String = {
+    val parts = (0 until k).map { r =>
+      val fresh =
+        if (r == 0) s"fresh$r AS (SELECT * FROM d$r)"
+        else
+          s"""fresh$r AS (
+             |  SELECT d$r.* FROM d$r
+             |  WHERE NOT EXISTS (SELECT 1 FROM seen$r WHERE seen$r.canonical_url = d$r.canonical_url)
+             |)""".stripMargin
+      val seenNext =
+        if (r == k - 1) ""
+        else if (r == 0) s",\nseen1 AS (SELECT DISTINCT canonical_url FROM cap0)"
+        else s",\nseen${r + 1} AS (SELECT canonical_url FROM seen$r UNION SELECT canonical_url FROM cap$r)"
+      s"""s$r AS (SELECT * FROM f WHERE CAST(floor(o_orderkey / 7) AS BIGINT) % $k = $r),
+         |d$r AS (
+         |  SELECT * FROM (
+         |    SELECT s$r.*, row_number() OVER (PARTITION BY canonical_url ORDER BY priority_band, url) AS rn$r
+         |    FROM s$r
+         |  ) WHERE rn$r = 1
+         |),
+         |$fresh,
+         |pol$r AS (
+         |  SELECT fresh$r.*, 250 * (1 + hn % 4) AS crawl_delay_ms FROM fresh$r
+         |  WHERE NOT (hn % 7 = 0 AND path LIKE '/p/1%')
+         |),
+         |cap$r AS (
+         |  SELECT * FROM (
+         |    SELECT pol$r.*, row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) AS crn$r
+         |    FROM pol$r
+         |  ) WHERE crn$r <= 40
+         |),
+         |sch$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round, canonical_url, host,
+         |    CAST(row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) AS BIGINT) AS host_seq,
+         |    CAST((row_number() OVER (PARTITION BY host ORDER BY priority_band, canonical_url) - 1) * crawl_delay_ms AS BIGINT) AS scheduled_ms,
+         |    true AS files_ok
+         |  FROM cap$r
+         |)$seenNext""".stripMargin
+    }
+    val union = (0 until k).map(r => s"SELECT * FROM sch$r").mkString("\nUNION ALL\n")
+    s"WITH $frontierCte,\n${parts.mkString(",\n")}\n$union"
+  }
 
   private val dedupedCte =
     s"""WITH $frontierCte,
@@ -1720,6 +1935,8 @@ object SparkEntry {
          |  FROM capped
          |)
          |SELECT canonical_url, host, host_seq, scheduled_ms FROM sched""".stripMargin,
+
+    "q72_crawl_endurance" -> enduranceOracleSql(5),
 
     // round 2 of a resumed crawl: schedule over the full deduped
     // frontier minus round 1's robots-surviving half (hn/path are
@@ -2106,6 +2323,22 @@ object SparkEntry {
       """SELECT o_orderkey AS rec_id, true AS len_ok, true AS digest_ok,
         | true AS file_ok, true AS split_ok
         |FROM orders WHERE o_orderkey % 5 = 0 OR o_orderkey % 50 = 1""".stripMargin,
+
+    "q74_container_wrap" ->
+      """SELECT o_orderkey AS rec_id, w AS wrapper, true AS len_ok,
+        | true AS digest_ok, true AS file_ok
+        |FROM orders CROSS JOIN (VALUES ('zz'), ('br')) v(w)
+        |WHERE o_orderkey % 29 = 0""".stripMargin,
+
+    "q73_audio_wav" ->
+      """SELECT 'wav-' || lpad(CAST(i AS VARCHAR), 8, '0') AS audio_id,
+        | CAST(CASE CAST(i % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |           WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+        | CAST(1 + i % 2 AS BIGINT) AS channels,
+        | CAST(400 + (i % 5) * 200 AS BIGINT) AS frames,
+        | CAST(1000 + (i % 7) * 500 AS BIGINT) AS peak_i16,
+        | CAST(1000 + (i % 7) * 500 AS BIGINT) AS rms_i16
+        |FROM range(0, 200) t(i)""".stripMargin,
 
     "q64_extract_tree" ->
       """WITH g AS (

@@ -22,14 +22,17 @@ object HeaderSerde {
     * detection; folded lines unfolded per parse.rs:65-68.
     */
   def parse(bytes: Array[Byte]): Option[(String, Seq[Field])] = {
-    val text = new String(bytes, StandardCharsets.UTF_8)
-    // the lenient String constructor substitutes U+FFFD for invalid
-    // sequences — detect it so malformed UTF-8 is REJECTED (reference
-    // behavior) instead of silently corrupted (a re-serialize would
-    // emit the 3-byte replacement char and shift every downstream
-    // position). A literal U+FFFD in valid input is indistinguishable
-    // by construction and also rejected — same trade the doc promises.
-    if (text.indexOf('�') >= 0) return None
+    // strict decode (CodingErrorAction.REPORT) so malformed UTF-8 is
+    // REJECTED (reference behavior, header.rs:67,72-73) while a header
+    // that legitimately encodes a literal U+FFFD still parses — the
+    // lenient String constructor can't tell the two apart because it
+    // substitutes U+FFFD for invalid sequences.
+    val text =
+      try StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      catch { case _: java.nio.charset.CharacterCodingException => return None }
     val unfolded = text.replaceAll("(?:\r\n|\n)[ \t]+", " ")
     val lines = unfolded.split("\r\n", -1)
     if (lines.length < 2 || !lines.head.startsWith("WARC/")) None

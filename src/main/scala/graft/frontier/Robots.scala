@@ -163,12 +163,44 @@ object Robots {
     */
   def applyRawRobots(frontier: DataFrame, robotsBodies: DataFrame,
                      userAgent: String, defaultDelayMs: Long = 1000L,
-                     maxBroadcastBytes: Long = 256L << 20): DataFrame = {
-    val totalBytes = robotsBodies
-      .agg(coalesce(sum(octet_length(col("body"))), lit(0L))).head.getLong(0)
+                     maxBroadcastBytes: Long = 256L << 20,
+                     knownBytes: Option[Long] = None): DataFrame = {
+    // a caller that already knows the body-table size (a crawl loop over
+    // a static robots cache) passes it and skips the count job entirely
+    val totalBytes = knownBytes.getOrElse(robotsBodies
+      .agg(coalesce(sum(octet_length(col("body"))), lit(0L))).head.getLong(0))
     if (totalBytes <= maxBroadcastBytes)
       applyRawRobotsBroadcast(frontier, robotsBodies, userAgent, defaultDelayMs)
     else applyRawRobotsDistributed(frontier, robotsBodies, userAgent, defaultDelayMs)
+  }
+
+  /** [[applyRawRobots]] as a crawl-lifetime stage (the
+    * [[Politeness.robotsStage]] pattern): runs the byte-count job ONCE
+    * at construction and binds the chosen path, so a K-round crawl loop
+    * pays one size probe for the whole crawl instead of one count job
+    * per round over a table whose size never changes mid-crawl.
+    */
+  def rawRobotsStage(robotsBodies: DataFrame, userAgent: String,
+                     defaultDelayMs: Long = 1000L,
+                     maxBroadcastBytes: Long = 256L << 20)
+      : DataFrame => DataFrame = {
+    val totalBytes = robotsBodies
+      .agg(coalesce(sum(octet_length(col("body"))), lit(0L))).head.getLong(0)
+    if (totalBytes <= maxBroadcastBytes) {
+      // hoist the collect+broadcast too — one crawl-lifetime broadcast,
+      // zero per-round jobs on the robots side
+      val spark = robotsBodies.sparkSession
+      val bodies = robotsBodies.select(col("host"), col("body")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val bc = spark.sparkContext.broadcast(bodies)
+      val resolver = new RobotsResolver(bc, userAgent, defaultDelayMs)
+      val verdictUdf = udf((host: String, path: String) => resolver.resolve(host, path))
+      frontier => frontier
+        .withColumn("robots", verdictUdf(col("host"), col("path")))
+        .where(col("robots._1"))
+        .withColumn("crawl_delay_ms", col("robots._2"))
+        .drop("robots")
+    } else applyRawRobotsDistributed(_, robotsBodies, userAgent, defaultDelayMs)
   }
 
   /** Broadcast path: collect the (host, body) cache, parse ONCE PER HOST

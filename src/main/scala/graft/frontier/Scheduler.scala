@@ -560,8 +560,20 @@ object Scheduler {
     else {
       // write through the registered table identity so saveAsTable
       // validates the bucket spec instead of clobbering it
-      val tbl = s"graft_seen_c${math.abs(path.hashCode)}"
-      if (!spark.catalog.tableExists(tbl)) loadSeenClustered(spark, path, buckets)
+      val tbl = seenTableName(path)
+      // a stale registration (same name, different location — possible
+      // only if the name scheme ever changes, but cheap to defend) would
+      // silently append this delta into the WRONG path's directory;
+      // verify the catalog entry actually points at `path`
+      val ok = spark.catalog.tableExists(tbl) && {
+        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+          .where(col("col_name") === "Location")
+          .select("data_type").collect().headOption.map(_.getString(0))
+        loc.exists(l => new org.apache.hadoop.fs.Path(l).toUri.getPath ==
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(p).toUri.getPath)
+      }
+      if (!ok) loadSeenClustered(spark, path, buckets)
       seen.select(col("host"), col("url_key")).distinct()
         .repartition(buckets, col("host"))
         .write.mode("append").bucketBy(buckets, "host")
@@ -569,12 +581,24 @@ object Scheduler {
     }
   }
 
+  /** Catalog identity for a [[saveSeenClustered]] table at `path`: a
+    * 64-bit content hash of the full path (not `String.hashCode` — a
+    * 32-bit collision between two live seen paths in one session would
+    * bind one path's appends to the other's directory, silently
+    * corrupting persistent crawl state). xxh3 collision odds at 64 bits
+    * are ~n²/2^65 — negligible for any plausible number of seen tables.
+    */
+  private def seenTableName(path: String): String = {
+    val h = graft.core.Xxh3.hash(path.getBytes("UTF-8"))
+    f"graft_seen_c$h%016x"
+  }
+
   /** Register + scan a [[saveSeenClustered]] table so the scan reports
     * hashpartitioning(host) to the planner.
     */
   def loadSeenClustered(spark: SparkSession, path: String,
                         buckets: Int = 64): DataFrame = {
-    val tbl = s"graft_seen_c${math.abs(path.hashCode)}"
+    val tbl = seenTableName(path)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"CREATE TABLE $tbl (host STRING, url_key BIGINT) " +
       s"USING parquet CLUSTERED BY (host) INTO $buckets BUCKETS " +

@@ -600,6 +600,17 @@ object Brotli {
     */
   def compressStored(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length + 8 + data.length / 65520 * 5)
+    compressStoredStream(new java.io.ByteArrayInputStream(data), out)
+    out.toByteArray
+  }
+
+  /** Streaming [[compressStored]] — reads `in` in window-size chunks,
+    * writes the same stored-mode stream to `out` with bounded memory
+    * (one 65,520-byte chunk), for whole-file WARC container writes of
+    * any size. Byte-identical to the array form on the same input.
+    */
+  def compressStoredStream(in: java.io.InputStream,
+                           out: java.io.OutputStream): Unit = {
     var acc = 0
     var accBits = 0
     def put(v: Int, n: Int): Unit = {
@@ -608,21 +619,32 @@ object Brotli {
       while (accBits >= 8) { out.write(acc & 0xff); acc >>>= 8; accBits -= 8 }
     }
     def align(): Unit = if (accBits > 0) { out.write(acc & 0xff); acc = 0; accBits = 0 }
+    // fill `buf` fully unless EOF comes first (InputStream.read may
+    // return short counts mid-stream; a short chunk that is not the
+    // last would change the block framing vs the array form)
+    val buf = new Array[Byte](65520)
+    def fill(): Int = {
+      var got = 0
+      var n = 0
+      while (got < buf.length && n >= 0) {
+        n = in.read(buf, got, buf.length - got)
+        if (n > 0) got += n
+      }
+      got
+    }
     put(0, 1) // WBITS = 16 (window 65520)
-    var off = 0
-    while (off < data.length) {
-      val n = math.min(65520, data.length - off) // MLEN ≤ window size
+    var n = fill()
+    while (n > 0) {
       put(0, 1) // ISLAST = 0 (uncompressed blocks cannot be last)
       put(0, 2) // MNIBBLES code 0 → 4 nibbles
-      put(n - 1, 16)
+      put(n - 1, 16) // MLEN ≤ window size
       put(1, 1) // ISUNCOMPRESSED
       align()
-      out.write(data, off, n)
-      off += n
+      out.write(buf, 0, n)
+      n = if (n == buf.length) fill() else 0
     }
     put(1, 1); put(1, 1) // ISLAST + ISLASTEMPTY
     align()
-    out.toByteArray
   }
 
   /** Decompress a complete brotli stream. `maxOutput` bounds the

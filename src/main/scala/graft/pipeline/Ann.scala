@@ -260,7 +260,8 @@ object Ann {
     // element_at would abort the job mid-flight with an opaque
     // array-index exception instead. One-row probe (limit-1, cheap at
     // any scale) — catches the config error without scanning the table.
-    df.select(size(col("embedding"))).head(1).foreach { r =>
+    df.where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head(1).foreach { r =>
       val d = r.getInt(0)
       require(d >= bands * bitsPerBand,
         s"embedding dims $d < bands*bitsPerBand = ${bands * bitsPerBand}")

@@ -128,8 +128,73 @@ object Multimodal {
     out
   }
 
-  /** STUB — deterministic fake for audio/video feature extraction (the
-    * real decoders are not in this container). Returns a fixed-length
+  /** REAL audio feature extraction for WAV (RIFF PCM) via pure-JVM
+    * `javax.sound.sampled` — the audio half of the media path, no
+    * container libraries needed. 16-bit signed PCM only (other
+    * encodings → None, like [[decode]] for non-image bytes). Features:
+    * `(sample_rate_hz, channels, bits, frames, peak_i16, rms_i16)` —
+    * peak |sample| and RMS in int16 units (rounded), pooled over all
+    * channels. RMS/peak in integer sample units keeps the values
+    * exactly re-derivable by an oracle from the synthesis parameters.
+    */
+  def wavFeatures(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Int, Int)] =
+    if (bytes == null) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val ch = fmt.getChannels
+          val be = fmt.isBigEndian
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var i = 0
+          var peak = 0
+          var sumSq = 0.0
+          while (i < n) {
+            val s =
+              if (be) (data(2 * i) << 8) | (data(2 * i + 1) & 0xff)
+              else (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+            val a = if (s < 0) -s else s
+            if (a > peak) peak = a
+            val v = s / 32768.0
+            sumSq += v * v
+            i += 1
+          }
+          val rms =
+            if (n == 0) 0
+            else math.round(math.sqrt(sumSq / n) * 32768.0).toInt
+          Some((math.round(fmt.getSampleRate), ch, 16, n.toLong / ch, peak, rms))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Minimal RIFF/WAVE PCM16 little-endian encoder for the synthetic
+    * audio corpus (tests + gate fixtures): `samples` are interleaved
+    * int16 frames × channels. Library-free and deterministic.
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+                     samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** STUB — deterministic fake for VIDEO feature extraction only (no
+    * video container/codec libs in this container; audio is REAL via
+    * [[wavFeatures]], images via [[decode]]). Returns a fixed-length
     * feature vector derived from content hashes so the Spark plumbing
     * (schema, batching, partitioning) is exercised end-to-end.
     */
@@ -165,6 +230,9 @@ object Multimodal {
   }
 
   val mediaFeaturesUdf = udf { (bytes: Array[Byte]) => stubMediaFeatures(bytes) }
+
+  /** (sample_rate, channels, bits, frames, peak_i16, rms_i16) or null. */
+  val wavFeaturesUdf = udf { (bytes: Array[Byte]) => wavFeatures(bytes) }
 
   /** Deterministic pixel corruption (paints the upper-left quadrant black,
     * re-encodes in the same format) — drives the fidelity gate's FAIL path

@@ -151,11 +151,22 @@ object WarcBytes {
     * archive's head frame parsed by a caller decoding from a mid-file
     * offset, where the leading dictionary frame is not in `bytes`). A
     * dictionary frame found in-band takes precedence.
+    *
+    * `formatOverride`: whole-file container wrappers the reference also
+    * accepts (compress.rs:43-58) that magic detection cannot identify —
+    * "deflate" (one zlib stream around the whole WARC) and "brotli"
+    * (one raw brotli stream; brotli has no magic at all) — selected by
+    * filename extension or an explicit caller flag, like the
+    * reference's `--compression-format` / app/format.rs:5-22. These
+    * wrappers do not support record-at-time concatenation
+    * (compress.rs:68-76), so `recordAtTimeOk` stays trivially true and
+    * `position` is the uncompressed-stream offset exactly as for plain.
     */
   final class WarcFileDecoder(bytes: Array[Byte], file: String,
-                              presetDict: Option[Array[Byte]] = None)
+                              presetDict: Option[Array[Byte]] = None,
+                              formatOverride: Option[String] = None)
       extends Iterator[WarcRecord] {
-    private val format = detectFormat(bytes)
+    private val format = formatOverride.getOrElse(detectFormat(bytes))
     private val parser = new RecordParser(file)
     private var ratFault = false
     private var pos = 0 // compressed cursor (gzip member loop / plain feed)
@@ -163,6 +174,8 @@ object WarcBytes {
     private var finished = false
     private var zstdInit = false
     private var zstdDict: Option[Array[Byte]] = None
+    private var zlibInf: Inflater = null // lazy, "deflate" wrapper only
+    private var brotliFed = false // "brotli" wrapper: whole-buffer fed?
     private val chunk = new Array[Byte](65536)
 
     def recordAtTimeOk: Boolean = !ratFault
@@ -239,6 +252,35 @@ object WarcBytes {
           if (!(parser.atRecordBoundary && parser.recordsParsed == before + 1))
             ratFault = true
         }
+      case "deflate" =>
+        // whole-file zlib wrapper (compress.rs:46): ONE continuous
+        // stream inflated in 64 KiB chunks — bounded memory like gzip
+        if (zlibInf == null) { zlibInf = new Inflater(); zlibInf.setInput(bytes) }
+        if (zlibInf.finished()) {
+          zlibInf.end(); parser.finish(); finished = true
+        } else {
+          val n = zlibInf.inflate(chunk)
+          if (n > 0) parser.append(chunk, 0, n)
+          else if (zlibInf.finished()) { zlibInf.end(); parser.finish(); finished = true }
+          else if (zlibInf.needsInput())
+            throw new EOFException(s"$file: truncated zlib stream")
+          else if (zlibInf.needsDictionary())
+            throw new IllegalArgumentException(s"$file: zlib preset dictionary unsupported")
+        }
+      case "brotli" =>
+        // whole-file raw brotli wrapper (compress.rs:52): the in-repo
+        // RFC 7932 decoder is whole-buffer (1 GiB output guard inside)
+        // — acceptable for this rare-path container; the mainline
+        // formats (gzip/zstd) stay streaming. Decode and finish are
+        // SEPARATE feedMore calls: feedMore's contract is "either add
+        // bytes or mark end-of-stream", never both — hasNext checks
+        // `finished` before re-polling the parser queue, so a call that
+        // appends AND finishes would strand every queued record.
+        if (!brotliFed) {
+          brotliFed = true
+          val out = graft.ops.Brotli.decompress(bytes)
+          parser.append(out, 0, out.length)
+        } else { parser.finish(); finished = true }
       case other =>
         throw new IllegalArgumentException(s"$file: unsupported format $other")
     }
@@ -300,6 +342,32 @@ object WarcBytes {
     }
     out.toByteArray
   }
+
+  // ---- whole-file container wrappers (compress.rs:43-58): one zlib or
+  //      raw-brotli stream around the WHOLE record stream; these formats
+  //      do not support concatenation (compress.rs:68-76), so there is
+  //      no record-at-time form and no byte-range splitting ----
+
+  /** Whole-file zlib-deflate container (compress.rs:46). */
+  def encodeDeflateWhole(records: Seq[WarcRecord]): Array[Byte] = {
+    val plain = encodeRecords(records)
+    val d = new Deflater()
+    d.setInput(plain)
+    d.finish()
+    val out = new ByteArrayOutputStream(plain.length / 2 + 64)
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Whole-file raw-brotli container (compress.rs:52) via the in-repo
+    * stored-mode RFC 7932 encoder (every conforming decoder accepts it;
+    * decode-side richness is pinned by BrotliSpec's real-encoder
+    * vectors).
+    */
+  def encodeBrotliWhole(records: Seq[WarcRecord]): Array[Byte] =
+    graft.ops.Brotli.compressStored(encodeRecords(records))
 
   // ---- record-at-time gzip (one member per record, compress.rs:62-76) ----
 

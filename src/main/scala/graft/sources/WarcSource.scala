@@ -30,10 +30,27 @@ object WarcSource {
     * plain vs record-at-time gzip vs zstd via magic bytes) into records
     * with exact uncompressed byte offsets.
     */
-  def read(spark: SparkSession, dir: String, glob: String = "*.warc*"): Dataset[WarcRecord] = {
+  def read(spark: SparkSession, dir: String, glob: String = "*.warc*",
+           format: Option[String] = None): Dataset[WarcRecord] = {
     import spark.implicits._
     binaryFiles(spark, dir, glob)
-      .flatMap { case (path, bytes) => new WarcBytes.WarcFileDecoder(bytes, path) }
+      .flatMap { case (path, bytes) =>
+        new WarcBytes.WarcFileDecoder(bytes, path,
+          formatOverride = format.orElse(extFormat(path)))
+      }
+  }
+
+  /** Filename mapping for the whole-file wrapper formats magic bytes
+    * cannot identify (reference compress.rs:43-58 — the CLI selects them
+    * via `--compression-format`; raw brotli has no magic and zlib's two
+    * bytes are ambiguous): `.warc.br` → brotli, `.warc.zz`/`.warc.deflate`
+    * → deflate. Everything else defers to magic detection.
+    */
+  private[sources] def extFormat(path: String): Option[String] = {
+    val f = path.toLowerCase
+    if (f.endsWith(".warc.br")) Some("brotli")
+    else if (f.endsWith(".warc.zz") || f.endsWith(".warc.deflate")) Some("deflate")
+    else None
   }
 
   /** Per-file decode stats: (file, n_records, rat_ok). `rat_ok` is the
@@ -156,10 +173,17 @@ object WarcSource {
                       gzip: Boolean = false): Unit =
     writeSingleFile(records, path, if (gzip) "gzip" else "none")
 
-  /** Codec-parameterized [[writeSingleFile]]: "none" | "gzip" | "zstd". */
+  /** Codec-parameterized [[writeSingleFile]]: "none" | "gzip" | "zstd"
+    * (record-at-time parallel encode + concat), or the whole-file
+    * wrappers "deflate" | "brotli" (no concatenation support,
+    * compress.rs:68-76: records encode to PLAIN parts in parallel, then
+    * the driver streams the concatenated stream through ONE
+    * zlib/brotli-stored compressor — bounded memory, single pass).
+    */
   def writeSingleFile(records: Dataset[WarcRecord], path: String,
                       codec: String): Unit = {
     import org.apache.hadoop.fs.Path
+    val wrapped = codec == "deflate" || codec == "brotli"
     val partsDir = path + ".parts"
     val p = new Path(path)
     // the session's Hadoop conf, not a bare new Configuration(): the
@@ -168,15 +192,40 @@ object WarcSource {
     val fs = p.getFileSystem(
       records.sparkSession.sparkContext.hadoopConfiguration)
     try {
-      write(records, partsDir, codec)
+      write(records, partsDir, if (wrapped) "none" else codec)
       val parts = fs.globStatus(new Path(partsDir, "part-*"))
         .sortBy(_.getPath.getName)
-      val out = fs.create(p, true)
-      try parts.foreach { st =>
-        val in = fs.open(st.getPath)
-        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
-        finally in.close()
-      } finally out.close()
+      val rawOut = fs.create(p, true)
+      // user-supplied Deflater: DeflaterOutputStream.close() does NOT
+      // end() it — end explicitly or the native context leaks
+      val defl = if (codec == "deflate") Some(new Deflater()) else None
+      val out: java.io.OutputStream = defl match {
+        case Some(d) => new java.util.zip.DeflaterOutputStream(rawOut, d, 1 << 16)
+        case None => rawOut
+      }
+      try {
+        if (codec == "brotli") {
+          // stored-mode brotli needs the stream as ONE input; a
+          // SequenceInputStream over the sorted parts keeps it streaming
+          import scala.jdk.CollectionConverters._
+          val seq = new java.io.SequenceInputStream(
+            java.util.Collections.enumeration(
+              parts.map(st => fs.open(st.getPath): java.io.InputStream).toSeq.asJava))
+          try graft.ops.Brotli.compressStoredStream(seq, out)
+          finally seq.close()
+        } else parts.foreach { st =>
+          val in = fs.open(st.getPath)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
+          finally in.close()
+        }
+        out match {
+          case d: java.util.zip.DeflaterOutputStream => d.finish()
+          case _ => ()
+        }
+      } finally {
+        out.close()
+        defl.foreach(_.end())
+      }
     } finally {
       // the transient parts dir (up to the full archive size) must not
       // survive a failed write/concat

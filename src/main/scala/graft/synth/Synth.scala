@@ -77,6 +77,36 @@ object Synth {
     spark.range(n).mapPartitions(_.map(i => makeImage(seed, i)))
   }
 
+  final case class WavRow(audio_id: String, bytes: Array[Byte],
+                          sample_rate: Int, channels: Int, frames: Int,
+                          amp: Int)
+
+  /** Deterministic WAV corpus: PCM16 square wave at amplitude `amp` —
+    * every sample is ±amp, so the decoded RMS and peak both equal `amp`
+    * EXACTLY (the mean-square sum is exact in double for these sizes),
+    * letting the DuckDB oracle re-derive every extracted feature from
+    * row-index arithmetic alone.
+    */
+  def makeWav(i: Long): WavRow = {
+    val rate = Vector(8000, 16000, 22050, 44100)((i % 4).toInt)
+    val ch = 1 + (i % 2).toInt
+    val frames = 400 + (i % 5).toInt * 200
+    val amp = 1000 + (i % 7).toInt * 500
+    val samples = new Array[Short](frames * ch)
+    var j = 0
+    while (j < samples.length) {
+      samples(j) = (if ((j / ch) % 2 == 0) amp else -amp).toShort
+      j += 1
+    }
+    WavRow(f"wav-$i%08d", Multimodal.encodeWavPcm16(rate, ch, samples),
+      rate, ch, frames, amp)
+  }
+
+  def wavs(spark: SparkSession, n: Int): Dataset[WavRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map(i => makeWav(i)))
+  }
+
   // ------------------------------------------------------------------
   // 2. frontier_seed — skewed synthetic URL frontier
   // ------------------------------------------------------------------

@@ -53,6 +53,55 @@ class CborSpec extends AnyFunSuite {
     assert(Cbor.decodeOne(Cbor.encode(arr), 0)._1 == arr)
   }
 
+  test("RFC 8949 Appendix A indefinite-length examples decode (decoder " +
+    "generality; the encoder stays definite-length)") {
+    def fromHex(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def dec(h: String): Val = {
+      val b = fromHex(h)
+      val (v, off) = Cbor.decodeOne(b, 0)
+      assert(off == b.length, s"short decode of $h")
+      v
+    }
+    // indefinite byte string: (_ h'0102', h'030405')
+    assert(dec("5f42010243030405ff") == CBytes(Array[Byte](1, 2, 3, 4, 5))
+      || dec("5f42010243030405ff").asInstanceOf[CBytes].v.sameElements(
+        Array[Byte](1, 2, 3, 4, 5)))
+    // indefinite text string: (_ "strea", "ming")
+    assert(dec("7f657374726561646d696e67ff") == CText("streaming"))
+    // indefinite arrays, all Appendix A shapes
+    assert(dec("9fff") == CArr(Vector()))
+    val nested = CArr(Vector(CInt(1), CArr(Vector(CInt(2), CInt(3))),
+      CArr(Vector(CInt(4), CInt(5)))))
+    assert(dec("9f018202039f0405ffff") == nested)
+    assert(dec("9f01820203820405ff") == nested)
+    assert(dec("83018202039f0405ff") == nested)
+    assert(dec("83019f0203ff820405") == nested)
+    assert(dec("9f0102030405060708090a0b0c0d0e0f101112131415161718181819ff") ==
+      CArr((1 to 25).map(i => CInt(i.toLong)).toVector))
+    // indefinite maps
+    assert(dec("bf61610161629f0203ffff") == CMap(Vector(
+      CText("a") -> CInt(1), CText("b") -> CArr(Vector(CInt(2), CInt(3))))))
+    assert(dec("826161bf61626163ff") == CArr(Vector(CText("a"),
+      CMap(Vector(CText("b") -> CText("c"))))))
+    assert(dec("bf6346756ef563416d7421ff") == CMap(Vector(
+      CText("Fun") -> CBool(true), CText("Amt") -> CInt(-2))))
+    // tags decode as their content (skip semantics)
+    assert(dec("c074323031332d30332d32315432303a30343a30305a") ==
+      CText("2013-03-21T20:04:00Z"))
+    assert(dec("c11a514b67b0") == CInt(0x514b67b0L))
+    dec("d74401020304") match {
+      case CBytes(x) => assert(x.sameElements(Array[Byte](1, 2, 3, 4)))
+      case other => fail(s"tag 23 content: $other")
+    }
+    // malformed indefinite forms still fail loudly
+    intercept[IllegalArgumentException](Cbor.decodeOne(fromHex("5f42010201ff"), 0)) // int chunk
+    intercept[IllegalArgumentException](Cbor.decodeOne(fromHex("5f5f4101ffff"), 0)) // nested indefinite chunk
+    intercept[IllegalArgumentException](Cbor.decodeOne(fromHex("9f01"), 0)) // missing break
+    intercept[IllegalArgumentException](Cbor.decodeOne(fromHex("ff"), 0)) // bare break
+    intercept[IllegalArgumentException](Cbor.decodeOne(fromHex("1f"), 0)) // indefinite int
+  }
+
   test("decodeSeq splits concatenated items; malformed input throws") {
     val seq = Cbor.encode(CInt(7)) ++ Cbor.encode(CText("hi")) ++
       Cbor.encode(CMap(Vector(CText("k") -> CBytes(Array[Byte](9)))))
@@ -98,6 +147,12 @@ class CborSpec extends AnyFunSuite {
       val (dec, off) = Cbor.decodeOne(enc, 0)
       assert(off == enc.length, s"seed $i: trailing bytes")
       assert(eq(dec, v), s"seed $i: $v != $dec")
+      // foreign-encoder form (indefinite framing + tags) decodes to the
+      // SAME value — the decoder-generality contract
+      val fenc = Cbor.encodeIndefinite(v)
+      val (fdec, foff) = Cbor.decodeOne(fenc, 0)
+      assert(foff == fenc.length, s"seed $i: foreign trailing bytes")
+      assert(eq(fdec, v), s"seed $i foreign: $v != $fdec")
     }
   }
 

@@ -70,4 +70,38 @@ class MultimodalSpec extends AnyFunSuite {
       assert(Multimodal.hamming64(Multimodal.phash64(img), Multimodal.phash64(small)) <= 4)
     }
   }
+
+  test("wavFeatures recovers exact synthesis parameters on the square-wave corpus") {
+    (0L until 20L).foreach { i =>
+      val r = Synth.makeWav(i)
+      val f = Multimodal.wavFeatures(r.bytes)
+      assert(f.contains((r.sample_rate, r.channels, 16, r.frames.toLong, r.amp, r.amp)),
+        s"wav $i: got $f, row $r")
+    }
+  }
+
+  test("wavFeatures handles the big-endian (AIFF) branch and rejects non-audio") {
+    // transcode a synthesized little-endian WAV to AIFF (PCM16 big-endian)
+    // through javax itself — features must be identical
+    val r = Synth.makeWav(3L)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    assert(Multimodal.wavFeatures(out.toByteArray)
+      .contains((r.sample_rate, r.channels, 16, r.frames.toLong, r.amp, r.amp)))
+    // non-audio / null / truncated-header inputs → None, never a throw
+    assert(Multimodal.wavFeatures(null).isEmpty)
+    assert(Multimodal.wavFeatures(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.wavFeatures("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.wavFeatures(Synth.makeImage(42L, 1).bytes).isEmpty)
+  }
+
+  test("wavFeatures silence and zero-frame edge cases") {
+    val silent = Multimodal.encodeWavPcm16(8000, 1, Array.fill[Short](100)(0))
+    assert(Multimodal.wavFeatures(silent).contains((8000, 1, 16, 100L, 0, 0)))
+    val empty = Multimodal.encodeWavPcm16(44100, 2, Array.empty[Short])
+    assert(Multimodal.wavFeatures(empty).contains((44100, 2, 16, 0L, 0, 0)))
+  }
 }

@@ -231,4 +231,55 @@ class WarcCodecSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](WarcBytes.encodeRecords(Seq(bad)))
     assert(e.getMessage.contains("Content-Length mismatch"))
   }
+
+  test("whole-file deflate/brotli container wrappers round-trip " +
+    "(compress.rs:43-58; no record-at-time, positions = plain offsets)") {
+    val records = Synth.warcRecords(round = 5, n = 30)
+    // zlib-deflate wrapper
+    val zz = WarcBytes.encodeDeflateWhole(records)
+    val dDec = new WarcBytes.WarcFileDecoder(zz, "synth.warc.zz",
+      formatOverride = Some("deflate"))
+    val dBack = dDec.toVector
+    assert(dBack.size == 30 && dDec.recordAtTimeOk)
+    dBack.zip(records).foreach { case (d, r) =>
+      assert(d.position == r.position)
+      assert(d.fields == r.fields)
+      assert(d.bytes.sameElements(r.bytes))
+    }
+    // raw-brotli wrapper (stored-mode encoder, decoded by the RFC 7932
+    // decoder — spans multiple 65,520-byte stored blocks)
+    val br = WarcBytes.encodeBrotliWhole(records)
+    assert(WarcBytes.encodeRecords(records).length > 65520, "fixture too small")
+    val bDec = new WarcBytes.WarcFileDecoder(br, "synth.warc.br",
+      formatOverride = Some("brotli"))
+    val bBack = bDec.toVector
+    assert(bBack.size == 30 && bDec.recordAtTimeOk)
+    bBack.zip(records).foreach { case (d, r) =>
+      assert(d.position == r.position)
+      assert(d.bytes.sameElements(r.bytes))
+    }
+    // truncated zlib stream fails loudly, not silently short
+    intercept[Exception] {
+      new WarcBytes.WarcFileDecoder(zz.dropRight(8), "t.warc.zz",
+        formatOverride = Some("deflate")).toVector
+    }
+  }
+
+  test("Spark source reads wrapper files by extension; single-file sink " +
+    "writes them (.warc.zz / .warc.br)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wrap").toString
+    val records = Synth.warcRecords(round = 6, n = 25)
+    val ds = spark.createDataset(records).coalesce(2)
+    WarcSource.writeSingleFile(ds, s"$dir/a.warc.zz", "deflate")
+    WarcSource.writeSingleFile(ds, s"$dir/b.warc.br", "brotli")
+    for (glob <- Seq("a.warc.zz", "b.warc.br")) {
+      val back = WarcSource.read(spark, dir, glob).collect().sortBy(_.position)
+      assert(back.length == 25, glob)
+      back.zip(records.sortBy(_.position)).foreach { case (d, r) =>
+        assert(d.fields == r.fields, glob)
+        assert(d.bytes.sameElements(r.bytes), glob)
+      }
+    }
+  }
 }
