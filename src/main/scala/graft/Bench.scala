@@ -718,6 +718,7 @@ object Bench {
       warmStage("fixture_gzip") { SparkEntry.splitGateFixture(spark, sfDir, "gzip") }
       warmStage("fixture_zstd") { SparkEntry.splitGateFixture(spark, sfDir, "zstd") }
       warmStage("fixture_fleet") { SparkEntry.fleetGateFixture(spark, sfDir) }
+      warmStage("fixture_wrap") { SparkEntry.wrapGateFixture(spark, sfDir) }
       warmStage("image") {
         import org.apache.spark.sql.functions._
         // image-bridge warm: q59's first pass pays ~23 s of ImageIO
@@ -886,7 +887,11 @@ object Bench {
         "q59_warc_to_images" -> 8.0, "q61_warc_split" -> 9.0,
         "q64_extract_tree" -> 20.0, "q66_checkpoint_resume" -> 11.0,
         "q67_warc_zstd_split" -> 5.0, "q69_fused_seen_round" -> 13.0,
-        "q70_seen_append_round" -> 21.0)
+        "q70_seen_append_round" -> 21.0,
+        // round 5: the K=5 endurance loop is genuine write IO (5
+        // bucketed frontier writes + checkpoints + appends); q74 reads
+        // two warm-prebuilt wrapper archives
+        "q72_crawl_endurance" -> 26.0, "q74_container_wrap" -> 6.0)
       val heavy = heavyCost.keySet
       mark("suite_start")
       // queries with a wall-time in a committed driver artifact

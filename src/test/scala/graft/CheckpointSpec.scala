@@ -71,4 +71,37 @@ class CheckpointSpec extends AnyFunSuite {
     assert(metrics.select("host").distinct().count() == hostsOut)
     assert(metrics.agg(sum("n_urls")).head.getLong(0) == out.count())
   }
+
+  test("two clustered seen tables in one session stay bound to their own " +
+    "paths (catalog identity is a 64-bit path hash, not hashCode)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-seenc").toString
+    val a = Seq(("h1.test", 11L), ("h2.test", 12L)).toDF("host", "url_key")
+    val b = Seq(("h9.test", 91L)).toDF("host", "url_key")
+    Scheduler.saveSeenClustered(a, s"$base/a", buckets = 2)
+    Scheduler.saveSeenClustered(b, s"$base/b", buckets = 2)
+    // interleaved appends: each delta must land in ITS path's directory
+    Scheduler.appendSeenClustered(
+      Seq(("h3.test", 13L)).toDF("host", "url_key"), s"$base/a", buckets = 2)
+    Scheduler.appendSeenClustered(
+      Seq(("h8.test", 92L)).toDF("host", "url_key"), s"$base/b", buckets = 2)
+    val gotA = Scheduler.loadSeenClustered(spark, s"$base/a", buckets = 2)
+      .select("url_key").as[Long].collect().sorted.toSeq
+    val gotB = Scheduler.loadSeenClustered(spark, s"$base/b", buckets = 2)
+      .select("url_key").as[Long].collect().sorted.toSeq
+    assert(gotA == Seq(11L, 12L, 13L))
+    assert(gotB == Seq(91L, 92L))
+    // a stale registration pointing elsewhere is re-registered, not
+    // appended into: register the A-name manually at B's location, then
+    // append to A — A's rows must still land under a, not b
+    val tblA = f"graft_seen_c${graft.core.Xxh3.hash(s"$base/a".getBytes("UTF-8"))}%016x"
+    spark.sql(s"DROP TABLE IF EXISTS $tblA")
+    spark.sql(s"CREATE TABLE $tblA (host STRING, url_key BIGINT) USING parquet " +
+      s"CLUSTERED BY (host) INTO 2 BUCKETS LOCATION '$base/b'")
+    Scheduler.appendSeenClustered(
+      Seq(("h4.test", 14L)).toDF("host", "url_key"), s"$base/a", buckets = 2)
+    assert(Scheduler.loadSeenClustered(spark, s"$base/a", buckets = 2)
+      .select("url_key").as[Long].collect().sorted.toSeq == Seq(11L, 12L, 13L, 14L))
+    assert(Scheduler.loadSeenClustered(spark, s"$base/b", buckets = 2)
+      .select("url_key").as[Long].collect().sorted.toSeq == Seq(91L, 92L))
+  }
 }

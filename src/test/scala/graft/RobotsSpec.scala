@@ -128,5 +128,31 @@ class RobotsSpec extends AnyFunSuite {
     val f2 = Seq(("a.test", "/only-graft/secret")).toDF("host", "path")
     assert(Robots.applyRawRobots(f2, robots, "graftbot/1.0", 9L).count() == 0)
     assert(Robots.applyRawRobots(f2, robots, "graftbot/1.0", 9L, 0L).count() == 0)
+    // knownBytes bypass: the caller-supplied size picks the path without
+    // a count job; rows identical either way
+    val kb = Robots.applyRawRobots(frontier, robots, "graftbot-image/2.0", 1000L,
+      knownBytes = Some(1L))
+    assert(kb.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq == out)
+  }
+
+  test("rawRobotsStage: one crawl-lifetime stage, equal to per-call form on both paths") {
+    import TestSpark.spark
+    import spark.implicits._
+    val frontier = Seq(
+      ("a.test", "/p/10"), ("a.test", "/ok"), ("b.test", "/p/10"))
+      .toDF("host", "path")
+    val robots = Seq(("a.test", body)).toDF("host", "body")
+    val want = Robots.applyRawRobots(frontier, robots, "graftbot-image/2.0", 1000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    // broadcast stage (size probe runs ONCE at construction)
+    val stageB = Robots.rawRobotsStage(robots, "graftbot-image/2.0", 1000L)
+    // distributed stage (threshold forced)
+    val stageD = Robots.rawRobotsStage(robots, "graftbot-image/2.0", 1000L,
+      maxBroadcastBytes = 0L)
+    for (stage <- Seq(stageB, stageD); _ <- 1 to 2) { // reusable across rounds
+      assert(stage(frontier).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq == want)
+    }
   }
 }
