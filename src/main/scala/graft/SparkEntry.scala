@@ -3,7 +3,7 @@ package graft
 import graft.core.{Digests, Field, FieldOps, HeaderSerde}
 import graft.frontier.{Canonical, CuckooSeenSet, Politeness, Scheduler, SeenSet}
 import graft.ops.{ExportImportOp, ExtractOp, FilterOp, ListOp, VerifyOp}
-import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
+import graft.pipeline.{Ann, Avi, Dedup, Multimodal, TextOps}
 import graft.synth.Synth
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1517,6 +1517,27 @@ object SparkEntry {
           col("f._5").cast("long").as("peak_i16"),
           col("f._6").cast("long").as("rms_i16"))),
 
+    // REAL video decode (closes the video half of the media stub):
+    // synthesize RIFF/AVI clips of uncompressed-DIB solid-color frames
+    // whose geometry / fps / frame colors are pure functions of the row
+    // index, demux + decode + frame-sample (every 2nd frame) with the
+    // hermetic pipeline.Avi, and let the oracle re-derive every feature
+    // VALUE — including the per-channel pixel sums over the SAMPLED
+    // frames — from index arithmetic. Widths cycle through
+    // non-multiples of 4 so DIB row padding is always on the path.
+    "q77_video_avi" -> ((s, _) =>
+      Synth.avis(s, 200).toDF()
+        .select(col("video_id"), Avi.featuresUdf(col("bytes")).as("f"))
+        .select(col("video_id"),
+          col("f._1").cast("long").as("w"),
+          col("f._2").cast("long").as("h"),
+          col("f._3").as("fps_milli"),
+          col("f._4").cast("long").as("n_frames"),
+          col("f._5").cast("long").as("n_sampled"),
+          col("f._6").as("sum_r"),
+          col("f._7").as("sum_g"),
+          col("f._8").as("sum_b"))),
+
     // Whole-file container wrappers (S4 closure, reference
     // compress.rs:43-58): the same record set written as ONE zlib-deflate
     // stream (.warc.zz) and ONE raw-brotli stream (.warc.br), read back
@@ -2392,6 +2413,27 @@ object SparkEntry {
         | true AS digest_ok, true AS file_ok
         |FROM orders CROSS JOIN (VALUES ('zz'), ('br')) v(w)
         |WHERE o_orderkey % 29 = 0""".stripMargin,
+
+    "q77_video_avi" ->
+      """WITH v AS (
+        |  SELECT i, 15 + (i % 4) * 9 AS w, 8 + (i % 3) * 4 AS h,
+        |    CASE CAST(i % 5 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 20
+        |         WHEN 2 THEN 25 WHEN 3 THEN 40 ELSE 50 END AS rate,
+        |    3 + i % 6 AS nf
+        |  FROM range(0, 200) t(i)
+        |), s AS (
+        |  SELECT v.*, f.f FROM v JOIN range(0, 8) f(f)
+        |    ON f.f < v.nf AND f.f % 2 = 0
+        |)
+        |SELECT 'vid-' || lpad(CAST(i AS VARCHAR), 8, '0') AS video_id,
+        | CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        | CAST(rate * 1000 AS BIGINT) AS fps_milli,
+        | CAST(nf AS BIGINT) AS n_frames,
+        | CAST(count(*) AS BIGINT) AS n_sampled,
+        | CAST(w * h * sum((7 * i + 13 * f) % 256) AS BIGINT) AS sum_r,
+        | CAST(w * h * sum((11 * i + 17 * f) % 256) AS BIGINT) AS sum_g,
+        | CAST(w * h * sum((5 * i + 19 * f) % 256) AS BIGINT) AS sum_b
+        |FROM s GROUP BY i, w, h, rate, nf""".stripMargin,
 
     "q73_audio_wav" ->
       """SELECT 'wav-' || lpad(CAST(i AS VARCHAR), 8, '0') AS audio_id,

@@ -192,11 +192,15 @@ object Multimodal {
     bb.array()
   }
 
-  /** STUB — deterministic fake for VIDEO feature extraction only (no
-    * video container/codec libs in this container; audio is REAL via
-    * [[wavFeatures]], images via [[decode]]). Returns a fixed-length
-    * feature vector derived from content hashes so the Spark plumbing
-    * (schema, batching, partitioning) is exercised end-to-end.
+  /** STUB — deterministic fake for COMPRESSED-codec video only (no
+    * codec libs in this container). Everything else is REAL: images via
+    * [[decode]], audio via [[wavFeatures]], and — since round 5 — video
+    * in the AVI container with uncompressed DIB frames via
+    * [[graft.pipeline.Avi]] (demux + exact frame decode + frame
+    * sampling, gate q77). This fallback returns a fixed-length feature
+    * vector derived from content hashes so the Spark plumbing (schema,
+    * batching, partitioning) stays exercised for the codecs that would
+    * need an external decoder.
     */
   def stubMediaFeatures(bytes: Array[Byte], dims: Int = 16): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("SHA-256").digest(

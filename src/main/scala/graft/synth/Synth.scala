@@ -107,6 +107,40 @@ object Synth {
     spark.range(n).mapPartitions(_.map(i => makeWav(i)))
   }
 
+  final case class AviRow(video_id: String, bytes: Array[Byte],
+                          w: Int, h: Int, rate: Int, n_frames: Int)
+
+  /** Deterministic AVI corpus: uncompressed-DIB clips of SOLID-COLOR
+    * frames — frame f of clip i is filled with
+    * (r,g,b) = ((7i+13f)%256, (11i+17f)%256, (5i+19f)%256), so every
+    * per-frame channel statistic the demuxer extracts is exact
+    * row-index arithmetic the DuckDB oracle re-derives. Width cycles
+    * through non-multiples of 4 (15/24/33/42) so the DIB 4-byte row
+    * padding path is always exercised; rate ∈ {10,20,25,40,50} keeps
+    * dwMicroSecPerFrame integral.
+    */
+  def makeAvi(i: Long): AviRow = {
+    val w = 15 + (i % 4).toInt * 9
+    val h = 8 + (i % 3).toInt * 4
+    val rate = Vector(10, 20, 25, 40, 50)((i % 5).toInt)
+    val nF = 3 + (i % 6).toInt
+    val frames = (0 until nF).map { f =>
+      val rgb = new Array[Byte](w * h * 3)
+      val (r, g, b) = (((7 * i + 13 * f) % 256).toByte,
+        ((11 * i + 17 * f) % 256).toByte, ((5 * i + 19 * f) % 256).toByte)
+      var p = 0
+      while (p < rgb.length) { rgb(p) = r; rgb(p + 1) = g; rgb(p + 2) = b; p += 3 }
+      rgb
+    }
+    AviRow(f"vid-$i%08d",
+      graft.pipeline.Avi.encode(w, h, rate, 1, frames), w, h, rate, nF)
+  }
+
+  def avis(spark: SparkSession, n: Int): Dataset[AviRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map(i => makeAvi(i)))
+  }
+
   // ------------------------------------------------------------------
   // 2. frontier_seed — skewed synthetic URL frontier
   // ------------------------------------------------------------------
