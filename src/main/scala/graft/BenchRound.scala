@@ -119,9 +119,22 @@ object BenchRound {
     // counts, not data volume) without the old full-table warm-up that
     // delayed READY to 81 s (the r04.0 failure). A fully-cold c1 first
     // TABLE round measured 74 s vs ~35 after a synth warm-up — round 1
-    // still faults heap + JITs the parquet-scan path and min-of-rounds
-    // discards it, but it no longer eats a third of the gate budget.
+    // still faults heap and min-of-rounds discards it, but it no longer
+    // eats a third of the gate budget.
     round(250000)
+    // ...but the synth warm round never touches the PARQUET SCAN path
+    // (rows != n routes to a generated DataFrame), so round 1 was still
+    // paying the vectorized-reader + bucketed-scan JIT at full table
+    // size — at c1 that interpreted decode ran round 1 to 78-128 s
+    // across otherwise-idle runs (steady round: 28-31 s). A scan-only
+    // count() JITs exactly that path for ~1/3 of a round's cost, still
+    // pre-READY where nothing is timed and the parent is warming up
+    // anyway.
+    (bucketedPath, frontierPath) match {
+      case (Some(_), _) => spark.table("graft_bench_frontier").count()
+      case (None, Some(p)) => spark.read.parquet(p).count()
+      case _ => ()
+    }
     println("READY")
 
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
