@@ -521,11 +521,19 @@ object SparkEntry {
       // and a capped round is far more expensive than its few-k-row
       // output (ContextCleaner reclaims the cache once the gate drops
       // its reference)
+      // hotSpreadRows pinned to the cap so this gate keeps exercising
+      // the SALTED spread leg for both hot-set sources (the auto
+      // threshold would route these ~405-row hosts through the cold
+      // leg's post-schedule cap filter instead — that equivalence has
+      // its own EngineSpec case and is implied by q26/q51 staying green)
       val counted = sel(Scheduler.runRound(frontier,
-        Scheduler.loadSeen(s, "/tmp/none"), robots, maxPerHostPerRound = 40)).persist()
-      val metrics = Scheduler.hotHosts(frontier, maxPerHostPerRound = 40)
+        Scheduler.loadSeen(s, "/tmp/none"), robots, maxPerHostPerRound = 40,
+        hotSpreadRows = 40)).persist()
+      val metrics = Scheduler.hotHosts(frontier, maxPerHostPerRound = 40,
+        hotSpreadRows = 40)
       val fed = sel(Scheduler.runRound(frontier,
         Scheduler.loadSeen(s, "/tmp/none"), robots, maxPerHostPerRound = 40,
+        hotSpreadRows = 40,
         knownHotHosts = Some(metrics ++ Array("notinfrontier.example.test")))).persist()
       counted.unionAll(fed.exceptAll(counted)).unionAll(counted.exceptAll(fed))
     }),

@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   *     ([[saltedHostCounts]]) so a hot host can't skew a single reducer;
   *   - robots is broadcast (host-cardinality).
   */
+/** Columns of [[Scheduler.fusedScheduleCap]]'s single-sort pipeline: the
+  * bare frontier after canonicalization + robots (crawl_delay_ms is the
+  * robots stage's per-host delay). Top-level (not object-nested private)
+  * because the Dataset encoder's generated deserializer must reach the
+  * class — a private nested case class fails Janino compilation at
+  * runtime ("Private member cannot be accessed").
+  */
+private[frontier] case class FusedIn(url: String, priority_band: Int,
+                                     host: String, canonical_url: String,
+                                     crawl_delay_ms: Long)
+private[frontier] case class FusedOut(url: String, priority_band: Int,
+                                      host: String, canonical_url: String,
+                                      crawl_delay_ms: Long,
+                                      host_seq: Long, scheduled_ms: Long)
+
 object Scheduler {
 
   /** Canonicalize + key a raw frontier(url, priority_band, ...) — narrow.
@@ -93,6 +108,25 @@ object Scheduler {
     * round; 0 = explicit opt-OUT (uncapped — one degenerate host can
     * serialize the politeness window's reducer); >0 = exact cap.
     *
+    * `hotSpreadRows`: raw-row threshold above which a host leaves the
+    * cold pipeline for the salted spread leg (dedupeWithinBatch →
+    * robots → two-phase [[Politeness.capPerHost]] → schedule, a few
+    * exchanges over just those hosts' rows). -1 (default) =
+    * [[hotSpreadAuto]]. The CAP itself no longer depends on this split:
+    * every cold-leg host is capped inside [[fusedScheduleCap]]'s scan
+    * (or, on the extra-columns path, by a post-schedule
+    * `host_seq <= cap` filter) — both row-identical to
+    * capPerHost-then-schedule because each keeps exactly the first
+    * `cap` rows per host in the politeness order (priority_band,
+    * canonical_url) and crawl_delay_ms is constant per host — so
+    * `knownHotHosts` (and this threshold) are PURE performance hints:
+    * any hot set, including an undercounting one, yields the same
+    * output. Warm hosts (over cap, under the spread threshold — the 40M
+    * probe measured 401 such hosts carrying 20% of the frontier) stay
+    * in the exchange-free leg instead of paying the spread leg's
+    * url_key exchange + salted top-k + re-exchange, which cost 42% of
+    * the 40M round's wall (FullGapProbe: 28.4 s vs 16.4 s at c4).
+    *
     * `frontierHostClustered`: set true when `rawFrontier` scans a table
     * whose STORAGE LAYOUT already clusters rows by host — a Spark
     * bucketed table `CLUSTERED BY (host)`, or an Iceberg table with a
@@ -111,10 +145,11 @@ object Scheduler {
                maxPerHostPerRound: Int = -1,
                frontierHostClustered: Boolean = false,
                knownHotHosts: Option[Array[String]] = None,
-               seenHostClustered: Boolean = false): DataFrame =
+               seenHostClustered: Boolean = false,
+               hotSpreadRows: Long = -1): DataFrame =
     runRoundImpl(rawFrontier, seenKeys, Politeness.applyRobots(_, robots),
       perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered,
-      knownHotHosts, seenHostClustered)
+      knownHotHosts, seenHostClustered, hotSpreadRows)
 
   /** [[runRound]] over a crawl-lifetime robots cache
     * ([[Politeness.robotsBroadcast]]): identical output, but the robots
@@ -128,10 +163,11 @@ object Scheduler {
                      maxPerHostPerRound: Int = -1,
                      frontierHostClustered: Boolean = false,
                      knownHotHosts: Option[Array[String]] = None,
-                     seenHostClustered: Boolean = false): DataFrame =
+                     seenHostClustered: Boolean = false,
+                     hotSpreadRows: Long = -1): DataFrame =
     runRoundImpl(rawFrontier, seenKeys, Politeness.applyRobotsMap(_, robotsBc),
       perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered,
-      knownHotHosts, seenHostClustered)
+      knownHotHosts, seenHostClustered, hotSpreadRows)
 
   /** [[runRound]] over an arbitrary robots stage — pair with
     * [[Politeness.robotsStage]] for the size-aware auto form (map
@@ -144,10 +180,11 @@ object Scheduler {
                      maxPerHostPerRound: Int = -1,
                      frontierHostClustered: Boolean = false,
                      knownHotHosts: Option[Array[String]] = None,
-                     seenHostClustered: Boolean = false): DataFrame =
+                     seenHostClustered: Boolean = false,
+                     hotSpreadRows: Long = -1): DataFrame =
     runRoundImpl(rawFrontier, seenKeys, robotsStage,
       perHostBudget, numBloomBuckets, maxPerHostPerRound, frontierHostClustered,
-      knownHotHosts, seenHostClustered)
+      knownHotHosts, seenHostClustered, hotSpreadRows)
 
   /** Dedupe with the SAME winner as [[dedupeWithinBatch]] (first row per
     * canonical_url in (canonical_url, priority_band, url) order = the
@@ -212,13 +249,94 @@ object Scheduler {
         col("host"), col("canonical_url"))
   }
 
+  /** Raw-rows-per-host threshold above which a host takes the salted
+    * spread leg when the caller gives no explicit `hotSpreadRows`:
+    * 64 × cap, floored at 1M rows. The spread leg exists for STRAGGLER
+    * mitigation only (a 10^8-row host would otherwise sort on one
+    * cold-leg reducer); correctness of the cap never depends on it (the
+    * cold leg's post-schedule `host_seq <= cap` filter caps every
+    * host). A 1M-row host inside a cold partition is a ~150 MB
+    * spillable sort — tolerable; the floor keeps small explicit caps
+    * (q72 uses 40) from routing merely-warm hosts through the spread
+    * leg's three extra exchanges.
+    */
+  def hotSpreadAuto(cap: Int): Long = math.max(64L * cap, 1L << 20)
+
+  /** Dedupe + politeness schedule + per-host cap in ONE sort and ONE
+    * per-host scan, for the bare robotted frontier.
+    *
+    * The declarative form pays TWO full sorts of the frontier — the
+    * dedupe SortAggregate's (host, canonical_url) sort and the
+    * politeness window's (host, priority_band, canonical_url) sort —
+    * because no single column order serves both (dedupe groups by
+    * canonical, the schedule is band-major). Measured at 40M rows / 4
+    * cores (FullGapProbe, count() pruning defeated): 46.5 s vs 17.7 s
+    * for the same pipeline without the window — the second sort IS the
+    * round's dominant cost, exactly the case the round-4 review said
+    * should trigger this fusion. One sort in the schedule's own order
+    * plus a per-host hash-set scan does all three jobs:
+    *
+    *  - dedupe: within a host sorted by (band, canonical_url, url), the
+    *    FIRST occurrence of a canonical_url is its min-(band, url) row —
+    *    the same winner every dedupe form picks; later occurrences are
+    *    skipped via the set. Robots runs BEFORE this pass (it commutes:
+    *    all duplicates of a canonical share (host, canonical_url), so
+    *    the whole group passes or fails together and the surviving
+    *    winner is unchanged);
+    *  - host_seq: a running counter over kept rows reproduces
+    *    row_number() over (host ORDER BY band, canonical_url) — kept
+    *    rows arrive in exactly that order;
+    *  - cap: counter >= cap skips the host's tail, which also BOUNDS the
+    *    set at `cap` entries per host regardless of host size (inserts
+    *    stop once the cap is hit) — per-task state is O(cap), not
+    *    O(host rows).
+    *
+    * Correctness needs each host's rows contiguous in one partition:
+    * callers pass a host-clustered scan, an explicit repartition(host),
+    * or a host-keyed join's output (every robots form preserves one of
+    * these). Null url/canonical/host rows are one group under a
+    * sentinel, like every other dedupe form. Ordering ties beyond
+    * (band, canonical_url, url) are impossible within a host: equal
+    * there means equal rows in this bare schema.
+    */
+  private[graft] def fusedScheduleCap(robotted: DataFrame, cap: Int): DataFrame = {
+    val spark = robotted.sparkSession
+    import spark.implicits._
+    robotted
+      .select(col("url"), col("priority_band"), col("host"), col("canonical_url"),
+        col("crawl_delay_ms").cast("long").as("crawl_delay_ms"))
+      .sortWithinPartitions(col("host").asc, col("priority_band").asc,
+        col("canonical_url").asc, col("url").asc)
+      .as[FusedIn]
+      .mapPartitions { it =>
+        var started = false
+        var curHost: String = null
+        var seq = 0L
+        val seenCanon = new java.util.HashSet[String]()
+        it.flatMap { r =>
+          if (!started || !java.util.Objects.equals(r.host, curHost)) {
+            started = true; curHost = r.host; seq = 0L; seenCanon.clear()
+          }
+          val canonKey = if (r.canonical_url == null) "\u0000" else r.canonical_url
+          if (seq >= cap || !seenCanon.add(canonKey)) Iterator.empty
+          else {
+            seq += 1
+            Iterator.single(FusedOut(r.url, r.priority_band, r.host,
+              r.canonical_url, r.crawl_delay_ms, seq, (seq - 1) * r.crawl_delay_ms))
+          }
+        }
+      }
+      .toDF()
+  }
+
   private def runRoundImpl(rawFrontier: DataFrame, seenKeys: DataFrame,
                            robotsStage: DataFrame => DataFrame,
                            perHostBudget: Int, numBloomBuckets: Int,
                            maxPerHostPerRound: Int,
                            frontierHostClustered: Boolean = false,
                            knownHotHosts: Option[Array[String]] = None,
-                           seenHostClustered: Boolean = false): DataFrame = {
+                           seenHostClustered: Boolean = false,
+                           hotSpreadRows: Long = -1): DataFrame = {
     val canon = canonicalize(rawFrontier)
     // hot-host round cap ON BY DEFAULT, as a two-pass hot split: pass 1
     // counts per host over the RAW frontier (narrow host extract +
@@ -234,6 +352,7 @@ object Scheduler {
     val cap =
       if (maxPerHostPerRound < 0) perHostBudget * DefaultMaxBatchesPerHost
       else maxPerHostPerRound
+    val spread = if (hotSpreadRows >= 0) hotSpreadRows else hotSpreadAuto(cap)
 
     def finish(scheduled: DataFrame): DataFrame =
       Politeness.fetchBatches(scheduled, perHostBudget)
@@ -278,7 +397,7 @@ object Scheduler {
       // cold pipeline); (b) when non-empty, the broadcast builds from a
       // local relation instead of running the count-aggregate as a
       // separate broadcast-subquery job.
-      val hotRows = hotRowSet(rawFrontier, cap, knownHotHosts)
+      val hotRows = hotRowSet(rawFrontier, spread, knownHotHosts)
       val withHost =
         if (rawFrontier.columns.contains("host")) rawFrontier
         else rawFrontier.withColumn("host", Canonical.hostOf(col("url")))
@@ -305,13 +424,22 @@ object Scheduler {
       // bare (url, band, host) schema → the sort-free hash-agg dedupe
       // (same winner; measured 17% faster and near-perfectly scaling);
       // extra input columns → the window form, which keeps whole rows
-      val coldDeduped =
-        if (cold.columns.toSet == Set("url", "priority_band", "host"))
-          dedupeWithinHostAgg(coldExchanged)
-        else dedupeWithinHost(coldExchanged)
-      val coldSched = Politeness.schedule(robotsStage(coldDeduped))
-        .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
-        .withColumn("host_hash", Canonical.hostHash(col("host")))
+      // bare schema → the FUSED single-sort pipeline (robots first — it
+      // commutes with dedupe since all duplicates of a canonical share
+      // its robots fate — then one sort + one per-host scan does
+      // dedupe + host_seq + cap; see fusedScheduleCap). Extra frontier
+      // columns → the whole-row window dedupe + window schedule with
+      // the cap as a post-schedule filter (row-identical to
+      // capPerHost-then-schedule; see the runRound doc) — two sorts,
+      // the rare path.
+      val coldSched =
+        (if (cold.columns.toSet == Set("url", "priority_band", "host"))
+          fusedScheduleCap(robotsStage(coldExchanged), cap)
+        else
+          Politeness.schedule(robotsStage(dedupeWithinHost(coldExchanged)))
+            .where(col("host_seq") <= cap))
+          .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
+          .withColumn("host_hash", Canonical.hostHash(col("host")))
       finish(hotSched.fold(coldSched)(_.unionByName(coldSched)))
     } else if (frontierHostClustered && seenHostClustered && cap > 0 &&
                !seenKeys.isEmpty) {
@@ -339,7 +467,7 @@ object Scheduler {
       require(seenKeys.columns.contains("host"),
         "seenHostClustered requires a (host, url_key) seen table — " +
           "write it with saveSeenClustered / checkpointRound")
-      val hotRows = hotRowSet(rawFrontier, cap, knownHotHosts)
+      val hotRows = hotRowSet(rawFrontier, spread, knownHotHosts)
       val withHost =
         if (rawFrontier.columns.contains("host")) rawFrontier
         else rawFrontier.withColumn("host", Canonical.hostOf(col("url")))
@@ -373,13 +501,17 @@ object Scheduler {
       // (same winner), like the probe-free branch — the agg form would
       // silently drop the extras (and break the union with the hot leg,
       // which keeps whole rows)
-      val coldDeduped =
-        if (cold.columns.toSet == Set("url", "priority_band", "host", "canonical_url"))
-          dedupeWithinHostAgg(cold)
-        else dedupeWithinHost(cold)
-      val coldSched = Politeness.schedule(robotsStage(coldDeduped))
-        .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
-        .withColumn("host_hash", Canonical.hostHash(col("host")))
+      // same fused-vs-window split as the probe-free branch (the
+      // anti-join's output keeps the scan's host clustering, so the
+      // fused pass's host-contiguity precondition holds here too)
+      val coldSched =
+        (if (cold.columns.toSet == Set("url", "priority_band", "host", "canonical_url"))
+          fusedScheduleCap(robotsStage(cold), cap)
+        else
+          Politeness.schedule(robotsStage(dedupeWithinHost(cold)))
+            .where(col("host_seq") <= cap))
+          .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
+          .withColumn("host_hash", Canonical.hostHash(col("host")))
       finish(hotSched.fold(coldSched)(_.unionByName(coldSched)))
     } else {
       val deduped = dedupeWithinBatch(canon)
@@ -393,22 +525,25 @@ object Scheduler {
       val polite =
         if (cap > 0) {
           // same collected hot set as the probe-free branch: empty (the
-          // steady state) ⇒ the flag join + cap leg vanish from the plan
-          val hotRows = hotRowSet(rawFrontier, cap, knownHotHosts)
+          // steady state) ⇒ the flag join + spread leg vanish from the
+          // plan. Only hosts over the SPREAD threshold pre-shrink via
+          // the salted two-phase top-k (so the schedule window never
+          // sorts a degenerate host on one reducer); merely-warm hosts
+          // are capped by the post-schedule filter below.
+          val hotRows = hotRowSet(rawFrontier, spread, knownHotHosts)
           hotFlagSplit(robotted, hotRows) match {
             case (Some(hot), cold) =>
               Politeness.capPerHost(hot, cap).unionByName(cold)
             case (None, cold) => cold
           }
         } else robotted
-      finish(Politeness.schedule(polite))
+      val scheduled = Politeness.schedule(polite)
+      finish(if (cap > 0) scheduled.where(col("host_seq") <= cap)
+             else scheduled)
     }
   }
 
-  /** Hosts whose RAW frontier row count exceeds `cap` (the hot side of
-    * the two-pass split), as a broadcastable (host, __hot) table.
-    */
-  /** Over-cap host names for `runRound*`'s `knownHotHosts` — the
+  /** Spread-leg host names for `runRound*`'s `knownHotHosts` — the
     * crawl-state form of the hot-host count. A production crawl loop
     * gets these for FREE from write-time lineage metrics (the frontier
     * writer knows per-host counts as it writes — [[partitionMetrics]] is
@@ -420,11 +555,18 @@ object Scheduler {
     * captured at write time stay valid until the next write.
     */
   def hotHosts(rawFrontier: DataFrame, perHostBudget: Int = 100,
-               maxPerHostPerRound: Int = -1): Array[String] = {
+               maxPerHostPerRound: Int = -1,
+               hotSpreadRows: Long = -1): Array[String] = {
     val cap =
       if (maxPerHostPerRound < 0) perHostBudget * DefaultMaxBatchesPerHost
       else maxPerHostPerRound
-    hotHostSet(rawFrontier, cap).collect().map(_.getString(0))
+    // threshold matches the round's spread-leg routing, NOT the cap:
+    // since the cold leg's post-schedule filter caps every host, the
+    // only hosts worth naming are the ones that must avoid the cold
+    // window's single-reducer sort. An over-CAP metrics set (what a
+    // pre-spread writer persisted) remains a valid superset.
+    val spread = if (hotSpreadRows >= 0) hotSpreadRows else hotSpreadAuto(cap)
+    hotHostSet(rawFrontier, spread).collect().map(_.getString(0))
   }
 
   /** Collected over-cap host rows: caller-supplied names (DEDUPLICATED —
@@ -432,10 +574,10 @@ object Scheduler {
     * not multiply rows through the hot-flag left join) or the counted
     * set.
     */
-  private def hotRowSet(rawFrontier: DataFrame, cap: Int,
+  private def hotRowSet(rawFrontier: DataFrame, threshold: Long,
                         known: Option[Array[String]]): Array[org.apache.spark.sql.Row] =
     known.map(_.distinct.map(h => org.apache.spark.sql.Row(h, true)))
-      .getOrElse(hotHostSet(rawFrontier, cap).collect())
+      .getOrElse(hotHostSet(rawFrontier, threshold).collect())
 
   /** Split `df` into (over-cap-host rows, everything else) via one
     * broadcast flag join; empty hot set ⇒ (None, df) and the join
@@ -458,7 +600,7 @@ object Scheduler {
         flagged.where(col("__hot").isNull).drop("__hot"))
     }
 
-  private def hotHostSet(rawFrontier: DataFrame, cap: Int): DataFrame = {
+  private def hotHostSet(rawFrontier: DataFrame, threshold: Long): DataFrame = {
     // with a stored host column this pass reads ONE pruned column from
     // the frontier table (columnar scan, no url parse); salting keys on
     // host alone is fine for the count
@@ -471,7 +613,7 @@ object Scheduler {
     hosted
       .groupBy("host", "salt").agg(count(lit(1)).as("c"))
       .groupBy("host").agg(sum("c").as("n"))
-      .where(col("n") > cap)
+      .where(col("n") > threshold)
       .select(col("host"), lit(true).as("__hot"))
   }
 

@@ -1,0 +1,41 @@
+package graft.tools
+
+import graft.frontier.{Politeness, Scheduler}
+import graft.synth.Synth
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Print the executed plan of the capped vs uncapped fused round over
+  * the StageProbe bucketed fixture — diagnosis for the 26 s cap-filter
+  * premium FullGapProbe measured at 40M. Args: n.
+  */
+object CapPlanProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toInt
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val srcPath = s"/tmp/graft-stage-frontier-$n-bucketed"
+    spark.sql("DROP TABLE IF EXISTS graft_stage_frontier")
+    spark.sql("CREATE TABLE graft_stage_frontier " +
+      "(url STRING, priority_band INT, host STRING) USING parquet " +
+      s"CLUSTERED BY (host) INTO 64 BUCKETS LOCATION '$srcPath'")
+    val frontier = spark.table("graft_stage_frontier")
+    val robotsBc = Politeness.robotsBroadcast(Synth.robots(spark, 10000).toDF())
+    val seen = Scheduler.loadSeen(spark, "/tmp/graft-stage-none")
+    println("=== capped (cap=10000) ===")
+    println(Scheduler.runRoundCached(frontier, seen, robotsBc,
+      frontierHostClustered = true, knownHotHosts = Some(Array.empty))
+      .queryExecution.executedPlan.toString.take(4000))
+    println("=== uncapped (cap=MaxValue) ===")
+    println(Scheduler.runRoundCached(frontier, seen, robotsBc,
+      maxPerHostPerRound = Int.MaxValue,
+      frontierHostClustered = true, knownHotHosts = Some(Array.empty))
+      .queryExecution.executedPlan.toString.take(4000))
+    spark.stop()
+  }
+}

@@ -182,12 +182,19 @@ class PolitenessSpec extends AnyFunSuite {
     val seen = Scheduler.loadSeen(spark, "/tmp/none")
     val cols = Seq("canonical_url", "host_seq", "scheduled_ms", "batch_id")
     val cap = 500
-    val metrics = Scheduler.hotHosts(raw, maxPerHostPerRound = cap)
+    // hotSpreadRows pinned to the cap: this test exercises the SALTED
+    // spread leg driven by metrics vs counts (with the auto threshold a
+    // 900-row host would just take the cold leg's post-schedule cap
+    // filter — covered by the warm-host test below)
+    val metrics = Scheduler.hotHosts(raw, maxPerHostPerRound = cap,
+      hotSpreadRows = cap)
     assert(metrics.contains("hot.example.test"))
-    val counted = Scheduler.runRound(raw, seen, robots, maxPerHostPerRound = cap)
+    val counted = Scheduler.runRound(raw, seen, robots, maxPerHostPerRound = cap,
+        hotSpreadRows = cap)
       .select(cols.map(col): _*)
     val fromMetrics = Scheduler.runRound(raw, seen, robots,
-        maxPerHostPerRound = cap, knownHotHosts = Some(metrics))
+        maxPerHostPerRound = cap, knownHotHosts = Some(metrics),
+        hotSpreadRows = cap)
       .select(cols.map(col): _*)
     assert(counted.exceptAll(fromMetrics).isEmpty &&
       fromMetrics.exceptAll(counted).isEmpty)
@@ -195,11 +202,42 @@ class PolitenessSpec extends AnyFunSuite {
     // URLs were consumed) must not change the output: capping a
     // below-cap host is a no-op
     val superset = Scheduler.runRound(raw, seen, robots,
-        maxPerHostPerRound = cap,
+        maxPerHostPerRound = cap, hotSpreadRows = cap,
         knownHotHosts = Some(metrics ++ Array("h00003.example.test")))
       .select(cols.map(col): _*)
     assert(counted.exceptAll(superset).isEmpty &&
       superset.exceptAll(counted).isEmpty)
+  }
+
+  test("warm host (over cap, under spread threshold): cold-leg filter == spread leg") {
+    // one warm host (800 rows, cap 300) + cold hosts + null-url rows:
+    // the auto spread threshold keeps the warm host in the exchange-free
+    // cold leg, capped by the post-schedule host_seq filter; forcing
+    // hotSpreadRows = cap routes it through the salted spread leg. Both
+    // forms must emit identical rows — including batch_id, which derives
+    // from host_seq (the filter must preserve the capPerHost-then-
+    // schedule numbering exactly).
+    val raw = Synth.frontierSeed(spark, 1500, nHosts = 25).toDF()
+      .select($"url", $"priority_band")
+      .unionByName((1 to 800).toDF("i").select(
+        concat(lit("https://warm.example.test/u/"), $"i").as("url"),
+        ($"i" % 3).as("priority_band")))
+      .unionByName(Seq((null.asInstanceOf[String], 1)).toDF("url", "priority_band"))
+    val robots = Synth.robots(spark, 25).toDF()
+    val seen = Scheduler.loadSeen(spark, "/tmp/none")
+    val cols = Seq("canonical_url", "host_seq", "scheduled_ms", "batch_id")
+    val cap = 300
+    val filtered = Scheduler.runRound(raw, seen, robots, maxPerHostPerRound = cap)
+      .select(cols.map(col): _*)
+    val spreadLeg = Scheduler.runRound(raw, seen, robots, maxPerHostPerRound = cap,
+        hotSpreadRows = cap)
+      .select(cols.map(col): _*)
+    assert(filtered.exceptAll(spreadLeg).isEmpty &&
+      spreadLeg.exceptAll(filtered).isEmpty)
+    // the warm host actually got capped
+    val warmRows = Scheduler.runRound(raw, seen, robots, maxPerHostPerRound = cap)
+      .where($"host" === "warm.example.test").count()
+    assert(warmRows == cap)
   }
 
   test("fused seen round (both tables host-clustered) == probe path, zero exchanges") {
