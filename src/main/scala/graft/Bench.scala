@@ -946,7 +946,19 @@ object Bench {
         // round 5: the K=5 endurance loop is genuine write IO (5
         // bucketed frontier writes + checkpoints + appends); q74 reads
         // two warm-prebuilt wrapper archives
-        "q72_crawl_endurance" -> 26.0, "q74_container_wrap" -> 6.0)
+        "q72_crawl_endurance" -> 26.0, "q74_container_wrap" -> 6.0,
+        // late round 5: the "all light queries cost ~40 s" premise had
+        // drifted — these consistently time 4.5-18 s (r05.f/h detail),
+        // 74 s of the 120 s "light" total, so a degrading window was
+        // clipping cheap never-timed lights while these burned the
+        // early budget. Registering them restores the guarantee that
+        // the residual ~46 s light set fits ANY window; their historied
+        // timings clip cheapest-last like the other heavies.
+        "q68_hot_metrics_round" -> 12.0, "q54_cbor_messages" -> 7.0,
+        "q53_cuckoo_delete" -> 7.0, "q62_segments_verify" -> 5.5,
+        "q56_robots_raw" -> 6.0, "q75_seen_bloom_distributed" -> 6.0,
+        "q52_seen_cuckoo_dedupe" -> 5.0, "q63_stream_schedule" -> 5.0,
+        "q76_lsh_sortmerge" -> 4.5)
       val heavy = heavyCost.keySet
       mark("suite_start")
       // queries with a wall-time in a committed driver artifact
