@@ -28,10 +28,10 @@ import org.apache.spark.sql.functions._
   * class — a private nested case class fails Janino compilation at
   * runtime ("Private member cannot be accessed").
   */
-private[frontier] case class FusedIn(url: String, priority_band: Int,
+private[frontier] case class FusedIn(url: String, priority_band: Option[Int],
                                      host: String, canonical_url: String,
                                      crawl_delay_ms: Long)
-private[frontier] case class FusedOut(url: String, priority_band: Int,
+private[frontier] case class FusedOut(url: String, priority_band: Option[Int],
                                       host: String, canonical_url: String,
                                       crawl_delay_ms: Long,
                                       host_seq: Long, scheduled_ms: Long)
@@ -302,9 +302,30 @@ object Scheduler {
   private[graft] def fusedScheduleCap(robotted: DataFrame, cap: Int): DataFrame = {
     val spark = robotted.sparkSession
     import spark.implicits._
-    robotted
+    // priority_band decodes as Option[Int]: a nullable band column must
+    // not crash the encoder — the window form this pass replaces ordered
+    // null bands first, and the sort below does the same.
+    val bare = robotted
       .select(col("url"), col("priority_band"), col("host"), col("canonical_url"),
         col("crawl_delay_ms").cast("long").as("crawl_delay_ms"))
+    // SELF-HEALING distribution check: the declarative forms this pass
+    // replaces DECLARED their hash(host) requirements, so a lying
+    // frontierHostClustered flag, a disabled bucketing conf, or a
+    // bucket-count-mismatched seen join (whose SMJ exchanges on
+    // (host, url_key) — hosts straddle partitions) only cost an extra
+    // exchange. A mapPartitions declares nothing, so it enforces host
+    // contiguity itself: inspect the PLANNED physical partitioning and
+    // insert one explicit repartition unless it already clusters on
+    // host. False negatives (an unrecognized-but-contiguous layout)
+    // only cost that same exchange — never correctness. Planning the
+    // subtree here costs milliseconds; no job runs.
+    val contiguous = try {
+      import org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution
+      val hostAttr = bare.queryExecution.analyzed.output.find(_.name == "host").get
+      bare.queryExecution.executedPlan.outputPartitioning
+        .satisfies(ClusteredDistribution(Seq(hostAttr)))
+    } catch { case _: Exception => false }
+    (if (contiguous) bare else bare.repartition(col("host")))
       .sortWithinPartitions(col("host").asc, col("priority_band").asc,
         col("canonical_url").asc, col("url").asc)
       .as[FusedIn]
@@ -328,6 +349,25 @@ object Scheduler {
       }
       .toDF()
   }
+
+  /** Shared cold-leg schedule for the probe-free and fused-seen
+    * branches — ONE definition so the two cannot drift. Bare
+    * (url, priority_band, host, canonical_url) schema → the fused
+    * single-sort pipeline; extra frontier columns → whole-row window
+    * dedupe + window schedule with the cap as a post-schedule filter
+    * (row-identical to capPerHost-then-schedule; see the runRound doc).
+    */
+  private def coldLegSchedule(coldCanon: DataFrame,
+                              robotsStage: DataFrame => DataFrame,
+                              cap: Int): DataFrame =
+    (if (coldCanon.columns.toSet ==
+         Set("url", "priority_band", "host", "canonical_url"))
+      fusedScheduleCap(robotsStage(coldCanon), cap)
+    else
+      Politeness.schedule(robotsStage(dedupeWithinHost(coldCanon)))
+        .where(col("host_seq") <= cap))
+      .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
+      .withColumn("host_hash", Canonical.hostHash(col("host")))
 
   private def runRoundImpl(rawFrontier: DataFrame, seenKeys: DataFrame,
                            robotsStage: DataFrame => DataFrame,
@@ -427,19 +467,9 @@ object Scheduler {
       // bare schema → the FUSED single-sort pipeline (robots first — it
       // commutes with dedupe since all duplicates of a canonical share
       // its robots fate — then one sort + one per-host scan does
-      // dedupe + host_seq + cap; see fusedScheduleCap). Extra frontier
-      // columns → the whole-row window dedupe + window schedule with
-      // the cap as a post-schedule filter (row-identical to
-      // capPerHost-then-schedule; see the runRound doc) — two sorts,
-      // the rare path.
-      val coldSched =
-        (if (cold.columns.toSet == Set("url", "priority_band", "host"))
-          fusedScheduleCap(robotsStage(coldExchanged), cap)
-        else
-          Politeness.schedule(robotsStage(dedupeWithinHost(coldExchanged)))
-            .where(col("host_seq") <= cap))
-          .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
-          .withColumn("host_hash", Canonical.hostHash(col("host")))
+      // dedupe + host_seq + cap; see fusedScheduleCap and
+      // coldLegSchedule).
+      val coldSched = coldLegSchedule(coldExchanged, robotsStage, cap)
       finish(hotSched.fold(coldSched)(_.unionByName(coldSched)))
     } else if (frontierHostClustered && seenHostClustered && cap > 0 &&
                !seenKeys.isEmpty) {
@@ -502,16 +532,10 @@ object Scheduler {
       // silently drop the extras (and break the union with the hot leg,
       // which keeps whole rows)
       // same fused-vs-window split as the probe-free branch (the
-      // anti-join's output keeps the scan's host clustering, so the
-      // fused pass's host-contiguity precondition holds here too)
-      val coldSched =
-        (if (cold.columns.toSet == Set("url", "priority_band", "host", "canonical_url"))
-          fusedScheduleCap(robotsStage(cold), cap)
-        else
-          Politeness.schedule(robotsStage(dedupeWithinHost(cold)))
-            .where(col("host_seq") <= cap))
-          .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
-          .withColumn("host_hash", Canonical.hostHash(col("host")))
+      // co-located anti-join's output keeps the scan's host clustering;
+      // if a bucket-count mismatch made it exchange on (host, url_key)
+      // instead, fusedScheduleCap's distribution check self-heals)
+      val coldSched = coldLegSchedule(cold, robotsStage, cap)
       finish(hotSched.fold(coldSched)(_.unionByName(coldSched)))
     } else {
       val deduped = dedupeWithinBatch(canon)

@@ -20,6 +20,11 @@ object CapPlanProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val srcPath = s"/tmp/graft-stage-frontier-$n-bucketed"
+    // CREATE TABLE ... LOCATION on a missing path "succeeds" with zero
+    // rows and prints plans over an empty frontier — require the
+    // StageProbe fixture instead of silently diagnosing nothing
+    require(new java.io.File(srcPath, "_SUCCESS").isFile,
+      s"fixture $srcPath missing — run StageProbe <cores> $n first")
     spark.sql("DROP TABLE IF EXISTS graft_stage_frontier")
     spark.sql("CREATE TABLE graft_stage_frontier " +
       "(url STRING, priority_band INT, host STRING) USING parquet " +

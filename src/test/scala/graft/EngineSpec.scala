@@ -209,6 +209,45 @@ class PolitenessSpec extends AnyFunSuite {
       superset.exceptAll(counted).isEmpty)
   }
 
+  test("frontierHostClustered stays a performance contract when it LIES") {
+    // the flag's doc promises: if the input is NOT actually clustered,
+    // the output is unchanged (Catalyst used to self-heal via the
+    // declared window/agg distributions; the fused pass now self-heals
+    // via its own planned-partitioning check + repartition). A
+    // round-robin-partitioned frontier with the flag set must equal the
+    // honest run — pre-check, hosts straddle partitions and the fused
+    // scan would emit duplicate host_seq values and uncollapsed dups.
+    val raw = Synth.frontierSeed(spark, 2500, nHosts = 30).toDF()
+      .select($"url", $"priority_band")
+      .withColumn("host", Canonical.hostOf($"url"))
+    val lying = raw.repartition(13) // round-robin: hosts straddle
+    val robots = Synth.robots(spark, 30).toDF()
+    val seen = Scheduler.loadSeen(spark, "/tmp/none")
+    val cols = Seq("canonical_url", "host_seq", "scheduled_ms", "batch_id")
+    val a = Scheduler.runRound(lying, seen, robots, frontierHostClustered = true)
+      .select(cols.map(col): _*)
+    val b = Scheduler.runRound(raw, seen, robots)
+      .select(cols.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("fused pass survives null priority_band rows") {
+    // a nullable band must not crash the Option[Int] encoder, and the
+    // null band orders FIRST within its host — same as the window form
+    val raw = Synth.frontierSeed(spark, 800, nHosts = 10).toDF()
+      .select($"url", $"priority_band")
+      .unionByName(Seq(("https://h00001.example.test/nullband", null.asInstanceOf[Integer]))
+        .toDF("url", "priority_band").select($"url", $"priority_band".cast("int")))
+    val robots = Synth.robots(spark, 10).toDF()
+    val seen = Scheduler.loadSeen(spark, "/tmp/none")
+    val out = Scheduler.runRound(raw, seen, robots)
+    val nullRow = out.where($"canonical_url".contains("nullband"))
+      .select($"priority_band", $"host_seq").collect()
+    assert(nullRow.length == 1 && nullRow.head.isNullAt(0))
+    // nulls-first politeness order: the null-band row is its host's seq 1
+    assert(nullRow.head.getLong(1) == 1L)
+  }
+
   test("warm host (over cap, under spread threshold): cold-leg filter == spread leg") {
     // one warm host (800 rows, cap 300) + cold hosts + null-url rows:
     // the auto spread threshold keeps the warm host in the exchange-free
