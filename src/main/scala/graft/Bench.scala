@@ -614,6 +614,22 @@ object Bench {
         val t = secs.takeRight(2)
         t.min > 0 && t.max / t.min <= 1.10
       })
+    /** Low-side variant: extend ONLY on genuine descent (last round
+      * >10% BELOW the previous). A bounce UP is ambient noise, not
+      * warm-up — r05.j's low sequence 68.0, 26.6, 34.4 read as
+      * "unsettled" under the two-sided rule and bought a 28 s fourth
+      * low round that cost the suite nine heavy timings, while the
+      * median the headline consumes barely moved. The HIGH side keeps
+      * the two-sided rule: its rounds cost ~9 s, its MIN is the
+      * headline denominator, and an extra round after a bounce can
+      * still find the converged figure (r05.e: 12.6-bounce, then 8.4,
+      * 7.6).
+      */
+    def settledLowCfg(secs: collection.Seq[Double], cap: Int): Boolean =
+      secs.size >= cap || (secs.size >= 3 && {
+        val t = secs.takeRight(2)
+        t.head > 0 && t.last >= t.head / 1.10
+      })
     /** Per-config evidence: this config needs no more gate rounds. Used
       * both by [[evidenceMet]] and by the issuing loop — a config that
       * is already settled must not be handed rounds the OTHER config's
@@ -622,7 +638,7 @@ object Bench {
       * while only c4 needed evidence, and q70 lost exactly that budget).
       */
     def settledFor(c: Child): Boolean =
-      if (c.cores == scaleLow) settledCfg(lowSecs, 4)
+      if (c.cores == scaleLow) settledLowCfg(lowSecs, 4)
       else settledCfg(highSecs, 6)
     def evidenceMet: Boolean = children.forall(settledFor)
 
