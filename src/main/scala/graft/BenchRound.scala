@@ -2,7 +2,7 @@ package graft
 
 import graft.frontier.Scheduler
 import graft.synth.Synth
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Long-lived frontier-round measurement child (spawned by Bench): one
@@ -126,13 +126,18 @@ object BenchRound {
     // (rows != n routes to a generated DataFrame), so round 1 was still
     // paying the vectorized-reader + bucketed-scan JIT at full table
     // size — at c1 that interpreted decode ran round 1 to 78-128 s
-    // across otherwise-idle runs (steady round: 28-31 s). A scan-only
-    // count() JITs exactly that path for ~1/3 of a round's cost, still
-    // pre-READY where nothing is timed and the parent is warming up
-    // anyway.
+    // across otherwise-idle runs (steady round: 28-31 s). NOT count():
+    // count() prunes the required schema to zero columns and parquet
+    // answers it from row-group metadata, so the string-decode path the
+    // warm exists to JIT would never run — consume every column through
+    // a hash aggregate instead, still pre-READY where nothing is timed
+    // and the parent is warming up anyway.
+    def warmScan(df: DataFrame): Unit = {
+      df.agg(max(xxhash64(df.columns.map(col): _*))).head(); ()
+    }
     (bucketedPath, frontierPath) match {
-      case (Some(_), _) => spark.table("graft_bench_frontier").count()
-      case (None, Some(p)) => spark.read.parquet(p).count()
+      case (Some(_), _) => warmScan(spark.table("graft_bench_frontier"))
+      case (None, Some(p)) => warmScan(spark.read.parquet(p))
       case _ => ()
     }
     println("READY")

@@ -151,16 +151,28 @@ object SparkEntry {
     s"${new java.io.File(dir).getName}-v$v-$len"
   }
 
+  /** Sweep scope for [[buildOnceDir]]: every key of the SAME dataset
+    * (sf basename) — stale versions and changed lengths — and nothing
+    * belonging to another sf size.
+    */
+  private def fixtureSweepPrefix(dir: String): String =
+    s"${new java.io.File(dir).getName}-"
+
   /** Build-once /tmp fixture hygiene shared by the gate fixtures:
     * builds into a fresh `.build-*` temp dir under `root`, atomically
     * renames it to `root/key` (a concurrent Verify/Bench JVM losing the
     * rename race adopts the winner's complete dir instead of observing
-    * one mid-rebuild), and sweeps stale sibling keys — old fixture
-    * versions, other sf sizes, and dead half-built temps older than an
-    * hour — so /tmp does not accrete across version bumps. Returns the
-    * final dir path; `.ok` inside it marks a complete build.
+    * one mid-rebuild), and sweeps stale SAME-DATASET siblings — old
+    * fixture versions / changed dataset lengths under `sweepPrefix`,
+    * plus dead half-built temps older than an hour — so /tmp does not
+    * accrete across version bumps. OTHER datasets' keys (a different sf
+    * size) are deliberately kept: a Verify at sf0.01 racing a Bench at
+    * sf0.1 must not delete the fixture the other JVM is mid-read on
+    * (and sweeping them would also rebuild the ~300 MB archive on every
+    * sf alternation). Returns the final dir path; `.ok` inside it marks
+    * a complete build.
     */
-  private def buildOnceDir(root: String, key: String)
+  private def buildOnceDir(root: String, key: String, sweepPrefix: String)
                           (build: java.io.File => Unit): String = {
     val rootF = new java.io.File(root)
     val finalF = new java.io.File(rootF, key)
@@ -169,9 +181,10 @@ object SparkEntry {
       val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
         new org.apache.hadoop.conf.Configuration())
       Option(rootF.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
-        val liveTemp = f.getName.startsWith(".build-") &&
-          System.currentTimeMillis() - f.lastModified() < 3600L * 1000
-        if (f.getName != key && !liveTemp)
+        val staleVersion = f.getName.startsWith(sweepPrefix) && f.getName != key
+        val deadTemp = f.getName.startsWith(".build-") &&
+          System.currentTimeMillis() - f.lastModified() >= 3600L * 1000
+        if (staleVersion || deadTemp)
           lfs.delete(new org.apache.hadoop.fs.Path(f.getAbsolutePath), true)
       }
       val tmpF = new java.io.File(rootF,
@@ -193,7 +206,7 @@ object SparkEntry {
     val gz = codec == "gzip"
     val sub = if (gz) "graft-warc-split-gate" else "graft-warc-zsplit-gate"
     val fname = if (gz) "big.warc.gz" else "big.warc.zst"
-    val tmp = buildOnceDir(s"/tmp/$sub", fixtureKey(s, dir, 1)) { bdir =>
+    val tmp = buildOnceDir(s"/tmp/$sub", fixtureKey(s, dir, 1), fixtureSweepPrefix(dir)) { bdir =>
       val (baseLen, lenStep, seedSalt, urn) =
         if (gz) (1600, 137, 7L, "split") else (600, 53, 11L, "zsplit")
       val recs = t(s, dir, "orders").select(col("o_orderkey"))
@@ -225,7 +238,7 @@ object SparkEntry {
     */
   def fleetGateFixture(s: SparkSession, dir: String): String = {
     import s.implicits._
-    buildOnceDir("/tmp/graft-warc-fleet-gate", fixtureKey(s, dir, 1)) { bdir =>
+    buildOnceDir("/tmp/graft-warc-fleet-gate", fixtureKey(s, dir, 1), fixtureSweepPrefix(dir)) { bdir =>
       val tmp = bdir.getAbsolutePath
       def mkRec(k: Long, baseLen: Int, lenStep: Int, fname: String): graft.core.WarcRecord = {
         val len = baseLen + (k % 7L).toInt * lenStep
@@ -265,7 +278,7 @@ object SparkEntry {
     */
   def wrapGateFixture(s: SparkSession, dir: String): String = {
     import s.implicits._
-    buildOnceDir("/tmp/graft-warc-wrap-gate", fixtureKey(s, dir, 1)) { bdir =>
+    buildOnceDir("/tmp/graft-warc-wrap-gate", fixtureKey(s, dir, 1), fixtureSweepPrefix(dir)) { bdir =>
       def recs(urn: String, baseLen: Int, step: Int, fname: String) =
         t(s, dir, "orders").select(col("o_orderkey"))
           .where(pmod(col("o_orderkey"), lit(29)) === 0)

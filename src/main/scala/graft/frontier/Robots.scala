@@ -186,21 +186,33 @@ object Robots {
       : DataFrame => DataFrame = {
     val totalBytes = robotsBodies
       .agg(coalesce(sum(octet_length(col("body"))), lit(0L))).head.getLong(0)
-    if (totalBytes <= maxBroadcastBytes) {
+    if (totalBytes <= maxBroadcastBytes)
       // hoist the collect+broadcast too — one crawl-lifetime broadcast,
       // zero per-round jobs on the robots side
-      val spark = robotsBodies.sparkSession
-      val bodies = robotsBodies.select(col("host"), col("body")).collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-      val bc = spark.sparkContext.broadcast(bodies)
-      val resolver = new RobotsResolver(bc, userAgent, defaultDelayMs)
-      val verdictUdf = udf((host: String, path: String) => resolver.resolve(host, path))
-      frontier => frontier
-        .withColumn("robots", verdictUdf(col("host"), col("path")))
-        .where(col("robots._1"))
-        .withColumn("crawl_delay_ms", col("robots._2"))
-        .drop("robots")
-    } else applyRawRobotsDistributed(_, robotsBodies, userAgent, defaultDelayMs)
+      broadcastVerdictStage(robotsBodies, userAgent, defaultDelayMs)
+    else applyRawRobotsDistributed(_, robotsBodies, userAgent, defaultDelayMs)
+  }
+
+  /** The one definition of the broadcast-path filter chain, shared by
+    * [[applyRawRobotsBroadcast]] and [[rawRobotsStage]]: collect the
+    * (host, body) cache, broadcast it, and filter through the executor-
+    * cached resolver. The spec-tested equality between the per-call and
+    * stage forms rides on this chain being literally identical — keep
+    * it in one place.
+    */
+  private def broadcastVerdictStage(robotsBodies: DataFrame, userAgent: String,
+                                    defaultDelayMs: Long): DataFrame => DataFrame = {
+    val spark = robotsBodies.sparkSession
+    val bodies = robotsBodies.select(col("host"), col("body")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val bc = spark.sparkContext.broadcast(bodies)
+    val resolver = new RobotsResolver(bc, userAgent, defaultDelayMs)
+    val verdictUdf = udf((host: String, path: String) => resolver.resolve(host, path))
+    frontier => frontier
+      .withColumn("robots", verdictUdf(col("host"), col("path")))
+      .where(col("robots._1"))
+      .withColumn("crawl_delay_ms", col("robots._2"))
+      .drop("robots")
   }
 
   /** Broadcast path: collect the (host, body) cache, parse ONCE PER HOST
@@ -208,19 +220,8 @@ object Robots {
     */
   private[frontier] def applyRawRobotsBroadcast(
       frontier: DataFrame, robotsBodies: DataFrame,
-      userAgent: String, defaultDelayMs: Long): DataFrame = {
-    val spark = frontier.sparkSession
-    val bodies = robotsBodies.select(col("host"), col("body")).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val bc = spark.sparkContext.broadcast(bodies)
-    val resolver = new RobotsResolver(bc, userAgent, defaultDelayMs)
-    val verdictUdf = udf((host: String, path: String) => resolver.resolve(host, path))
-    frontier
-      .withColumn("robots", verdictUdf(col("host"), col("path")))
-      .where(col("robots._1"))
-      .withColumn("crawl_delay_ms", col("robots._2"))
-      .drop("robots")
-  }
+      userAgent: String, defaultDelayMs: Long): DataFrame =
+    broadcastVerdictStage(robotsBodies, userAgent, defaultDelayMs)(frontier)
 
   /** Distributed path: parse + group-select each body WHERE IT LIVES (one
     * scalar UDF over the host-cardinality body table — never through the

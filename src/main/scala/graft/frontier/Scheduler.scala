@@ -306,7 +306,12 @@ object Scheduler {
     // not crash the encoder — the window form this pass replaces ordered
     // null bands first, and the sort below does the same.
     val bare = robotted
-      .select(col("url"), col("priority_band"), col("host"), col("canonical_url"),
+      .select(col("url"),
+        // cast like crawl_delay_ms below: a LONG band column (e.g. a
+        // spark.range/pmod-derived frontier) must not fail `.as[FusedIn]`
+        // when the pre-fusion agg/window paths accepted it
+        col("priority_band").cast("int").as("priority_band"),
+        col("host"), col("canonical_url"),
         col("crawl_delay_ms").cast("long").as("crawl_delay_ms"))
     // SELF-HEALING distribution check: the declarative forms this pass
     // replaces DECLARED their hash(host) requirements, so a lying
@@ -735,9 +740,16 @@ object Scheduler {
         val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
           .where(col("col_name") === "Location")
           .select("data_type").collect().headOption.map(_.getString(0))
-        loc.exists(l => new org.apache.hadoop.fs.Path(l).toUri.getPath ==
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .makeQualified(p).toUri.getPath)
+        // compare fully-QUALIFIED URIs, not bare paths: hdfs://nn/x and
+        // file:/x share a path string but are different tables, and
+        // appending across that confusion is exactly the silent
+        // cross-binding this check exists to stop
+        val conf = spark.sparkContext.hadoopConfiguration
+        def qualified(s: String): java.net.URI = {
+          val q = new org.apache.hadoop.fs.Path(s)
+          q.getFileSystem(conf).makeQualified(q).toUri
+        }
+        loc.exists(l => qualified(l) == qualified(path))
       }
       if (!ok) loadSeenClustered(spark, path, buckets)
       seen.select(col("host"), col("url_key")).distinct()

@@ -23,7 +23,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * }}}
   * The demuxer walks chunks structurally: unknown chunks (JUNK, extra
   * streams, 'idx1') are skipped, odd-sized chunks honor the RIFF pad
-  * byte, and '00db'/'00dc' both count as frame chunks of stream 0.
+  * byte, and 'NNdb'/'NNdc' frame chunks are grouped per stream number
+  * so the video frames are found even when the 'vids' stream is not
+  * stream 0 (audio-first files).
   */
 object Avi {
 
@@ -156,14 +158,28 @@ object Avi {
       var bitCount = -1
       var compression = -1
       var sawAvih, sawVids = false
-      val frames = Vector.newBuilder[Array[Byte]]
+      var strhSeen = 0     // streams appear in strl order: strh #k is stream k
+      var vidsStream = -1  // stream number of the first 'vids' stream
+      val framesByStream =
+        scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Array[Byte]]]
+      // 'NNdb'/'NNdc' → stream number NN (two ASCII decimal digits), else -1
+      def frameChunkStream(id: Int): Int = {
+        val c0 = id & 0xff; val c1 = (id >>> 8) & 0xff
+        val c2 = (id >>> 16) & 0xff; val c3 = (id >>> 24) & 0xff
+        if (c0 >= '0' && c0 <= '9' && c1 >= '0' && c1 <= '9' &&
+            c2 == 'd' && (c3 == 'b' || c3 == 'c')) (c0 - '0') * 10 + (c1 - '0')
+        else -1
+      }
       // walk: LIST bodies are walked recursively; leaf chunks by id
       def walk(end: Int): Unit = {
         while (bb.position() + 8 <= end) {
           val id = bb.getInt()
           val len = bb.getInt()
           val body = bb.position()
-          if (len < 0 || body + len > end) throw new RuntimeException("chunk overruns")
+          // `len > end - body` (not `body + len > end`): both sides are
+          // non-negative so a crafted len near Int.MaxValue cannot wrap
+          // past the guard into a multi-GB allocation below
+          if (len < 0 || len > end - body) throw new RuntimeException("chunk overruns")
           // a zero-length chunk with id 0 is trailing garbage, and
           // skipping it would not advance the walk — abort
           if (id == 0) throw new RuntimeException("null chunk id")
@@ -179,17 +195,20 @@ object Avi {
             val fccType = bb.getInt()
             if (fccType == fourCC("vids") && !sawVids) {
               sawVids = true
+              vidsStream = strhSeen
               bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt()
               scale = bb.getInt(); rate = bb.getInt()
             }
+            strhSeen += 1
           } else if (id == fourCC("strf") && sawVids && bitCount < 0 && len >= 40) {
             bb.getInt(); bb.getInt(); bb.getInt(); bb.getShort()
             bitCount = bb.getShort() & 0xffff
             compression = bb.getInt()
-          } else if (id == fourCC("00db") || id == fourCC("00dc")) {
+          } else if (frameChunkStream(id) >= 0) {
             val f = new Array[Byte](len)
             bb.get(f)
-            frames += f
+            framesByStream.getOrElseUpdate(frameChunkStream(id),
+              scala.collection.mutable.ArrayBuffer.empty) += f
           }
           // skip to next chunk: body + len + RIFF pad byte for odd len
           bb.position(body + len + (len & 1))
@@ -197,7 +216,8 @@ object Avi {
       }
       walk(math.min(bytes.length, 8 + riffLen))
       val rowBytes = ((width * 3 + 3) / 4) * 4
-      val out = frames.result()
+      val out = framesByStream.get(vidsStream)
+        .map(_.toVector).getOrElse(Vector.empty)
       if (!sawAvih || !sawVids || width <= 0 || height <= 0 ||
           rate <= 0 || scale <= 0 ||
           bitCount != 24 || compression != 0 ||

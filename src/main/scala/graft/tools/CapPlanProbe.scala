@@ -6,8 +6,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Print the executed plan of the capped vs uncapped fused round over
-  * the StageProbe bucketed fixture — diagnosis for the 26 s cap-filter
-  * premium FullGapProbe measured at 40M. Args: n.
+  * the StageProbe bucketed fixture. Historical note: this probe was
+  * written chasing a "26 s cap-filter premium" FullGapProbe appeared to
+  * measure at 40M — that delta was an artifact of count()-pruned legs
+  * (the uncapped leg's politeness window was column-pruned away while
+  * the capped leg's host_seq reference kept it), i.e. it was the
+  * window's cost, not the filter's; FullGapProbe now consumes plans via
+  * toRdd so the legs are comparable. Args: n.
   */
 object CapPlanProbe {
   def main(args: Array[String]): Unit = {

@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   * is url_key/host_hash derivation, how much is finish()'s
   * sortWithinPartitions. Args: cores n [parts]. Reuses StageProbe's
   * bucketed fixture path.
+  *
+  * Piecewise legs are consumed via `queryExecution.toRdd.count()`, NOT
+  * `Dataset.count()`: count() plans an agg on top, which column-prunes
+  * the politeness window away whenever host_seq/scheduled_ms go
+  * unreferenced and EliminateSorts drops sortWithinPartitions — the
+  * original count()-based legs timed "sched+keys" WITHOUT its window
+  * while the CAPFILTER leg (whose filter references host_seq) kept it,
+  * so their delta was the window's entire cost misread as the cap
+  * filter's. toRdd executes the plan exactly as written.
   */
 object FullGapProbe {
   def main(args: Array[String]): Unit = {
@@ -81,21 +90,21 @@ object FullGapProbe {
     def keyed = scheduled
       .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
       .withColumn("host_hash", Canonical.hostHash(col("host")))
-    t("sched+keys") { keyed.count() }
+    def consume(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+    t("sched+keys") { consume(keyed) }
     t("sched+CAPFILTER+keys") {
-      Politeness.schedule(Politeness.applyRobotsMap(
+      consume(Politeness.schedule(Politeness.applyRobotsMap(
         Scheduler.dedupeWithinHostAgg(
           frontier.withColumn("canonical_url", Canonical.canonicalUrl(col("url")))), robotsBc))
         .where(col("host_seq") <= 10000)
         .withColumn("url_key", Canonical.urlKey(col("canonical_url")))
-        .withColumn("host_hash", Canonical.hostHash(col("host")))
-        .count()
+        .withColumn("host_hash", Canonical.hostHash(col("host"))))
     }
-    t("sched+keys+batches") { Politeness.fetchBatches(keyed, 100).count() }
+    t("sched+keys+batches") { consume(Politeness.fetchBatches(keyed, 100)) }
     t("sched+keys+batches+sort") {
-      Politeness.fetchBatches(keyed, 100)
-        .sortWithinPartitions("priority_band", "scheduled_ms", "host_hash", "canonical_url")
-        .count()
+      consume(Politeness.fetchBatches(keyed, 100)
+        .sortWithinPartitions("priority_band", "scheduled_ms", "host_hash", "canonical_url"))
     }
     spark.stop()
   }

@@ -117,6 +117,54 @@ class AviSpec extends AnyFunSuite {
     assert(Avi.decode(comp).isEmpty)
   }
 
+  test("audio-first file: vids as stream 1, frames under '01db', still decoded") {
+    // splice a stream-0 'auds' strl ahead of the vids strl and retag the
+    // frame chunks '00db' -> '01db' — the decoder must bind frames to
+    // the vids STREAM NUMBER, not hard-code stream 0 (an audio-first
+    // AVI used to decode as a vacuously-valid zero-frame clip).
+    // pixel values avoid ASCII '0','d','b' so the retag can't touch data
+    val good = Avi.encode(8, 8, 25, 1, Seq(solid(8, 8, 9, 9, 9), solid(8, 8, 20, 40, 50)))
+    val strlAt = { // offset of the strl LIST header ("LIST" tag)
+      var i = 0
+      val tag = "strl".getBytes("US-ASCII")
+      while (!good.slice(i, i + 4).sameElements(tag)) i += 1
+      i - 8
+    }
+    val auds = java.nio.ByteBuffer.allocate(100)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def put4(s: String): Unit = { auds.put(s.getBytes("US-ASCII")); () }
+    put4("LIST"); auds.putInt(92); put4("strl")
+    put4("strh"); auds.putInt(56); put4("auds"); auds.position(auds.position() + 52)
+    put4("strf"); auds.putInt(16); auds.position(auds.position() + 16)
+    val spliced = java.nio.ByteBuffer.allocate(good.length + 100)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(good, 0, strlAt).put(auds.array()).put(good, strlAt, good.length - strlAt)
+      .array()
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + 100)   // RIFF size
+    bb.putInt(16, bb.getInt(16) + 100) // hdrl LIST size
+    val zero = "00db".getBytes("US-ASCII")
+    var i = 0
+    while (i + 4 <= spliced.length) { // retag every frame chunk / idx1 entry
+      if (spliced.slice(i, i + 4).sameElements(zero)) spliced(i + 1) = '1'.toByte
+      i += 1
+    }
+    val (sp, gd) = (Avi.decode(spliced).get, Avi.decode(good).get)
+    assert((sp.width, sp.height, sp.fpsMilli) == ((gd.width, gd.height, gd.fpsMilli)))
+    assert(sp.frames.size == 2 &&
+      sp.frames.zip(gd.frames).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("crafted near-Int.MaxValue chunk length -> None, no multi-GB allocation") {
+    // body + len would wrap negative and slip past a `body + len > end`
+    // guard straight into new Array[Byte](len); the overflow-safe form
+    // (`len > end - body`) must reject it as a chunk overrun
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(56).put("AVI ".getBytes("US-ASCII"))
+    bb.put("00db".getBytes("US-ASCII")).putInt(0x7ffffff0)
+    assert(Avi.decode(bb.array()).isEmpty)
+  }
+
   test("Synth.avis features match index arithmetic (the q77 oracle form)") {
     for (i <- 0L until 24L) {
       val row = Synth.makeAvi(i)

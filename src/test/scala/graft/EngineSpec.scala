@@ -248,6 +248,23 @@ class PolitenessSpec extends AnyFunSuite {
     assert(nullRow.head.getLong(1) == 1L)
   }
 
+  test("fused pass accepts a LONG priority_band column (pre-fusion parity)") {
+    // a spark.range/pmod-derived frontier carries a BIGINT band; the
+    // pre-fusion agg/window dedupe paths accepted it, so the fused
+    // .as[FusedIn] (Option[Int] field) must cast rather than fail
+    // analysis with an up-cast error
+    val raw = Synth.frontierSeed(spark, 600, nHosts = 8).toDF()
+      .select($"url", $"priority_band")
+    val robots = Synth.robots(spark, 8).toDF()
+    val seen = Scheduler.loadSeen(spark, "/tmp/none")
+    val cols = Seq("canonical_url", "host_seq", "scheduled_ms", "batch_id")
+    val a = Scheduler.runRound(raw.withColumn("priority_band",
+        $"priority_band".cast("long")), seen, robots)
+      .select(cols.map(col): _*)
+    val b = Scheduler.runRound(raw, seen, robots).select(cols.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("warm host (over cap, under spread threshold): cold-leg filter == spread leg") {
     // one warm host (800 rows, cap 300) + cold hosts + null-url rows:
     // the auto spread threshold keeps the warm host in the exchange-free
