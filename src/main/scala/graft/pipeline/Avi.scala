@@ -67,9 +67,15 @@ object Avi {
     * the encoder flips to the DIB bottom-up BGR layout and pads rows.
     * `rate`/`scale` define fps (dwRate/dwScale in 'strh');
     * `1000000L * scale / rate` must fit avih's dwMicroSecPerFrame.
+    * `audioFirst` emits a (silent, zero-sample) 'auds' stream as stream
+    * 0 ahead of the video — the spec-legal audio-first layout many
+    * muxers produce, where video frames arrive as '01db', not '00db';
+    * the synthetic corpus uses it to keep the decoder's stream-number
+    * binding oracle-gated.
     */
   def encode(width: Int, height: Int, rate: Int, scale: Int,
-             framesRgb: Seq[Array[Byte]]): Array[Byte] = {
+             framesRgb: Seq[Array[Byte]],
+             audioFirst: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && rate > 0 && scale > 0)
     val rowBytes = ((width * 3 + 3) / 4) * 4
     val frameBytes = rowBytes * height
@@ -77,11 +83,14 @@ object Avi {
     // RIFF sizes, inside-out (every LIST size field counts its BODY,
     // which starts with the list-type fourcc; chunk headers are 8).
     // frameBytes is even (rowBytes % 4 == 0) so no pad bytes anywhere.
+    val audsStrlBody = 4 + (8 + 56) + (8 + 16)   // 'strl' + strh + empty strf
     val strlBody = 4 + (8 + 56) + (8 + 40)       // 'strl' + strh + strf
-    val hdrlBody = 4 + (8 + 56) + (8 + strlBody) // 'hdrl' + avih + LIST strl
+    val hdrlBody = 4 + (8 + 56) + (8 + strlBody) + // 'hdrl' + avih + LIST strl
+      (if (audioFirst) 8 + audsStrlBody else 0)
     val moviBody = 4 + nF * (8 + frameBytes)     // 'movi' + frame chunks
     val idx1Body = nF * 16
     val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody) + (8 + idx1Body)
+    val frameTag = if (audioFirst) "01db" else "00db"
     val bb = ByteBuffer.allocate(8 + riffBody).order(ByteOrder.LITTLE_ENDIAN)
     def tag(s: String): Unit = { bb.putInt(fourCC(s)); () }
     tag("RIFF"); bb.putInt(riffBody); tag("AVI ")
@@ -90,9 +99,17 @@ object Avi {
     bb.putInt((1000000L * scale / rate).toInt) // dwMicroSecPerFrame
       .putInt(rate * frameBytes / scale)       // dwMaxBytesPerSec
       .putInt(0).putInt(0x10)                  // padding, AVIF_HASINDEX
-      .putInt(nF).putInt(0).putInt(1)          // totalFrames, initial, streams
+      .putInt(nF).putInt(0)                    // totalFrames, initial
+      .putInt(if (audioFirst) 2 else 1)        // streams
       .putInt(frameBytes).putInt(width).putInt(height)
       .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    if (audioFirst) { // stream 0: silent 'auds' (zero samples, zero strf)
+      tag("LIST"); bb.putInt(audsStrlBody); tag("strl")
+      tag("strh"); bb.putInt(56); tag("auds")
+      bb.position(bb.position() + 52)          // zeroed rest of strh
+      tag("strf"); bb.putInt(16)
+      bb.position(bb.position() + 16)          // zeroed WAVEFORMAT
+    }
     tag("LIST"); bb.putInt(strlBody); tag("strl")
     tag("strh"); bb.putInt(56)
     tag("vids"); tag("DIB ")
@@ -113,7 +130,7 @@ object Avi {
     var i = 0
     while (i < nF) {
       frameOffsets(i) = bb.position() - moviTagPos
-      tag("00db"); bb.putInt(frameBytes)
+      tag(frameTag); bb.putInt(frameBytes)
       val rgb = framesRgb(i)
       require(rgb.length == width * height * 3,
         s"frame $i: ${rgb.length} bytes, want ${width * height * 3}")
@@ -134,7 +151,7 @@ object Avi {
     tag("idx1"); bb.putInt(idx1Body)
     i = 0
     while (i < nF) {
-      tag("00db"); bb.putInt(0x10) // AVIIF_KEYFRAME
+      tag(frameTag); bb.putInt(0x10) // AVIIF_KEYFRAME
       bb.putInt(frameOffsets(i)).putInt(frameBytes)
       i += 1
     }

@@ -132,8 +132,15 @@ object Synth {
       while (p < rgb.length) { rgb(p) = r; rgb(p + 1) = g; rgb(p + 2) = b; p += 3 }
       rgb
     }
+    // every 7th clip is AUDIO-FIRST (silent auds stream 0, video as
+    // stream 1, frames tagged '01db') so the decoder's stream-number
+    // binding stays oracle-gated through q77 — the oracle re-derives
+    // features from (i)-arithmetic and is layout-blind, so a decoder
+    // that hard-codes stream 0 would return zero frames for these rows
+    // and fail the hash compare
     AviRow(f"vid-$i%08d",
-      graft.pipeline.Avi.encode(w, h, rate, 1, frames), w, h, rate, nF)
+      graft.pipeline.Avi.encode(w, h, rate, 1, frames,
+        audioFirst = i % 7 == 3), w, h, rate, nF)
   }
 
   def avis(spark: SparkSession, n: Int): Dataset[AviRow] = {
