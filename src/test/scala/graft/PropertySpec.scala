@@ -231,4 +231,37 @@ class PropertySpec extends AnyFunSuite {
       assert(parsed.contains(("WARC/1.1", fields)), s"i=$i")
     }
   }
+
+  test("AVI encode ⇄ decode round-trips random geometry, fps, frame count, " +
+    "stream layout, and exact pixels") {
+    import graft.pipeline.Avi
+    // sweeps BOTH encoder layouts (video-only and audio-first) across the
+    // full size-arithmetic space: odd widths (row padding), fractional
+    // fps (scale 1001), 1..6 frames — any header-size miscount in the
+    // audio-first branch would misalign the walk and fail decode
+    for (i <- 0 until 30) {
+      val w = 1 + sample(Gen.chooseNum(0, 40), 9000L + i * 7)
+      val h = 1 + sample(Gen.chooseNum(0, 24), 9001L + i * 7)
+      val rate = 1 + sample(Gen.chooseNum(0, 59999), 9002L + i * 7)
+      val scale = Vector(1, 2, 3, 1001)(sample(Gen.chooseNum(0, 3), 9003L + i * 7))
+      val nF = 1 + sample(Gen.chooseNum(0, 5), 9004L + i * 7)
+      val audioFirst = i % 2 == 1
+      val frames = (0 until nF).map { f =>
+        sample(Gen.listOfN(w * h * 3, Gen.choose(-128, 127))
+          .map(_.map(_.toByte).toArray), 9100L + i * 10 + f)
+      }
+      val clip = Avi.decode(Avi.encode(w, h, rate, scale, frames, audioFirst))
+        .getOrElse(fail(s"i=$i w=$w h=$h nF=$nF audioFirst=$audioFirst: decode failed"))
+      assert((clip.width, clip.height, clip.fpsMilli, clip.frames.size) ==
+        ((w, h, rate * 1000L / scale, nF)), s"i=$i")
+      val imgs = Avi.sampleFrames(clip, 1)
+      for (f <- 0 until nF; y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        val want = ((frames(f)(p) & 0xff) << 16) |
+          ((frames(f)(p + 1) & 0xff) << 8) | (frames(f)(p + 2) & 0xff)
+        assert((imgs(f).getRGB(x, y) & 0xffffff) == want,
+          s"i=$i f=$f ($x,$y) audioFirst=$audioFirst")
+      }
+    }
+  }
 }
