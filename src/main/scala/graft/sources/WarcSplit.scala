@@ -36,10 +36,10 @@ import java.util.zip.Inflater
   * to `WARC/`; mid-file skippable frames are skipped. Archives led by a
   * skippable DICTIONARY frame (the reference's convention,
   * compress/zstd.rs:13-58) ARE splittable: the driver reads the head
-  * frame once, ships the dictionary to every task with the split spec,
-  * and each task decodes (and boundary-validates) its frames against it
-  * — the dictionary is crawl-shared state exactly like a robots
-  * broadcast, not a reason to serialize the file.
+  * frame once, BROADCASTS the dictionary (once per executor, not once
+  * per task), and each task decodes (and boundary-validates) its frames
+  * against it — the dictionary is crawl-shared state exactly like a
+  * robots broadcast, not a reason to serialize the file.
   *
   * Memory per task: one range buffer (≤ splitBytes + the format's
   * validation tail: 1 KiB gzip, 256 KiB zstd) + one record. Plain files
@@ -285,10 +285,9 @@ object WarcSplit {
     * classifies it (record-at-time gzip and zstd are both splittable —
     * member/frame starts are record boundaries). A zstd archive LED by
     * the skippable dictionary frame (compress/zstd.rs:13-58) is
-    * splittable too: parse the head frame ONCE here and ship the
-    * dictionary with every split spec (it rides the task closure the
-    * way a robots map rides a broadcast — shared crawl state, read
-    * once, used by every task).
+    * splittable too: parse the head frame ONCE here; [[runSplits]]
+    * strips it out of the per-task spec and broadcasts it (shared
+    * crawl state, read once, used by every task).
     */
   private def planSplits(fs: org.apache.hadoop.fs.FileSystem,
                          path: org.apache.hadoop.fs.Path, fileLen: Long,
@@ -333,8 +332,18 @@ object WarcSplit {
   private def runSplits(spark: SparkSession, splits: Seq[Split],
                         maxRecordBytes: Int): Dataset[WarcRecord] = {
     import spark.implicits._
+    // the head dictionary is per-FILE shared state: ship it ONCE per
+    // executor via a broadcast instead of a copy inside every split's
+    // task payload — a multi-GB archive at 128 MB splitBytes has
+    // thousands of splits per file, and a dict embedded in each Split
+    // would serialize (dict bytes × splits) of duplicate task bytes
+    // from the driver
+    val dictByFile = splits.iterator
+      .flatMap(s => s.dict.map(d => s.file -> d)).toMap
+    val dictBc = spark.sparkContext.broadcast(dictByFile)
+    val bare = splits.map(_.copy(dict = None))
     val rdd = spark.sparkContext
-      .parallelize(splits, math.max(1, splits.size))
+      .parallelize(bare, math.max(1, bare.size))
       .flatMap { s =>
         // executor-side Configuration, like WarcSource.write: picks up
         // the cluster's fs.* settings from the classpath
@@ -347,7 +356,7 @@ object WarcSplit {
           a
         }
         decodeRange(readRange, s.fileLen, s.start, s.end, s.file,
-          maxRecordBytes, s.format, s.dict, s.contentStart)
+          maxRecordBytes, s.format, dictBc.value.get(s.file), s.contentStart)
       }
     spark.createDataset(rdd)
   }
