@@ -202,18 +202,25 @@ class WarcSplitSpec extends AnyFunSuite {
     val a = Synth.warcRecords(round = 11, n = 25)
     val b = Synth.warcRecords(round = 12, n = 25)
     val c = Synth.warcRecords(round = 13, n = 25)
+    val d = Synth.warcRecords(round = 14, n = 25)
     WarcSource.writeSingleFile(spark.createDataset(a), s"$tmp/a.warc.gz", "gzip")
     WarcSource.writeSingleFile(spark.createDataset(b), s"$tmp/b.warc.zst", "zstd")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/c.warc.zst"),
       WarcBytes.encodeZstd(c, dict = Some(("dict " * 100).getBytes("UTF-8"))))
-    val all = (a ++ b ++ c).map(key).sorted
+    // a SECOND dictionaried archive with a DIFFERENT dictionary: frames
+    // compressed against one raw dict do not decode against another, so
+    // split == whole here proves each task binds ITS file's dictionary
+    // out of the shared broadcast map, not some other file's
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/d.warc.zst"),
+      WarcBytes.encodeZstd(d, dict = Some(("other material " * 60).getBytes("UTF-8"))))
+    val all = (a ++ b ++ c ++ d).map(key).sorted
     val ds = WarcSplit.readSplitDir(spark, tmp, splitBytes = 1500L)
     assert(ds.collect().map(key).sorted.toSeq == all)
     // splits from different files land in different tasks of ONE job
     val nTasks = ds.select(spark_partition_id()).distinct().count()
-    assert(nTasks > 3, s"expected >3 range tasks, got $nTasks")
+    assert(nTasks > 4, s"expected >4 range tasks, got $nTasks")
     // records keep their source file
-    assert(ds.collect().map(_.file).distinct.sorted.length == 3)
+    assert(ds.collect().map(_.file).distinct.sorted.length == 4)
   }
 
   test("non-gzip input is rejected with a clear error") {
