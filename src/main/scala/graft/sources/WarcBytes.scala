@@ -166,7 +166,13 @@ object WarcBytes {
                               presetDict: Option[Array[Byte]] = None,
                               formatOverride: Option[String] = None)
       extends Iterator[WarcRecord] {
-    private val format = formatOverride.getOrElse(detectFormat(bytes))
+    // a zero-byte file is the degenerate EMPTY archive (what writing an
+    // empty dataset produces), not an unsupported format: decode it as
+    // zero records in any format. Truncated files are unaffected — they
+    // carry partial content and still fail their format's own checks.
+    private val format =
+      if (bytes == null || bytes.isEmpty) "warc"
+      else formatOverride.getOrElse(detectFormat(bytes))
     private val parser = new RecordParser(file)
     private var ratFault = false
     private var pos = 0 // compressed cursor (gzip member loop / plain feed)

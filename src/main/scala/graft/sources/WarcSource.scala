@@ -193,7 +193,11 @@ object WarcSource {
       records.sparkSession.sparkContext.hadoopConfiguration)
     try {
       write(records, partsDir, if (wrapped) "none" else codec)
-      val parts = fs.globStatus(new Path(partsDir, "part-*"))
+      // an EMPTY dataset writes no parts (and possibly no parts dir), and
+      // globStatus returns null for a nonexistent base — the output is
+      // then a valid zero-record archive file, not an NPE
+      val parts = Option(fs.globStatus(new Path(partsDir, "part-*")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
         .sortBy(_.getPath.getName)
       val rawOut = fs.create(p, true)
       // user-supplied Deflater: DeflaterOutputStream.close() does NOT

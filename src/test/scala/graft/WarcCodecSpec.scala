@@ -102,6 +102,26 @@ class WarcCodecSpec extends AnyFunSuite {
     assert(stats.length == 1 && stats.head.getLong(1) == 60 && stats.head.getBoolean(2))
   }
 
+  test("writeSingleFile of an EMPTY dataset: valid zero-record archive, " +
+    "every codec (no NPE on the missing parts glob, empty file reads back)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-empty").toString
+    val empty = spark.createDataset(Seq.empty[graft.core.WarcRecord])
+    for ((codec, ext) <- Seq("none" -> "a.warc", "gzip" -> "b.warc.gz",
+        "zstd" -> "c.warc.zst", "deflate" -> "d.warc.zz", "brotli" -> "e.warc.br")) {
+      val path = s"$dir/$ext"
+      WarcSource.writeSingleFile(empty, path, codec)
+      assert(new java.io.File(path).isFile, s"$codec: no output file")
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val dec = new WarcBytes.WarcFileDecoder(bytes, path,
+        formatOverride = if (bytes.isEmpty) None
+          else Some(codec match { case "none" => "warc"; case c => c }))
+      assert(dec.toVector.isEmpty, s"$codec: expected zero records")
+    }
+    // the directory read sees the empty archives and yields zero records
+    assert(WarcSource.read(spark, dir, "*.warc*").isEmpty)
+  }
+
   test("RecordAtTimeCompression flag: multi-record member is a fault " +
     "(decode.rs:700-711, app/verify.rs:79-82)") {
     val records = Synth.warcRecords(round = 4, n = 6)
