@@ -364,6 +364,11 @@ object WarcSplit {
   def readSplit(spark: SparkSession, file: String, splitBytes: Long = 128L << 20,
                 maxRecordBytes: Int = 64 << 20): Dataset[WarcRecord] = {
     require(splitBytes > 0, "splitBytes must be positive")
+    // each task buffers its whole range (+ validation tail) in one array:
+    // fail with the sizing story, not a negative-array-size surprise
+    require(splitBytes <= Int.MaxValue.toLong - ZstdValidationTail - 8,
+      s"splitBytes=$splitBytes exceeds the per-task buffer limit " +
+        "(one JVM array per range); use more, smaller splits")
     val path = new org.apache.hadoop.fs.Path(file)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fileLen = fs.getFileStatus(path).getLen
@@ -384,6 +389,11 @@ object WarcSplit {
                    splitBytes: Long = 128L << 20,
                    maxRecordBytes: Int = 64 << 20): Dataset[WarcRecord] = {
     require(splitBytes > 0, "splitBytes must be positive")
+    // each task buffers its whole range (+ validation tail) in one array:
+    // fail with the sizing story, not a negative-array-size surprise
+    require(splitBytes <= Int.MaxValue.toLong - ZstdValidationTail - 8,
+      s"splitBytes=$splitBytes exceeds the per-task buffer limit " +
+        "(one JVM array per range); use more, smaller splits")
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(new org.apache.hadoop.fs.Path(base, glob))
