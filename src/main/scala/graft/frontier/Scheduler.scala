@@ -788,8 +788,13 @@ object Scheduler {
     * rounds exist yet).
     */
   def loadSeen(spark: SparkSession, outDir: String): DataFrame = {
-    val dir = new java.io.File(s"$outDir/seen")
-    if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
+    // existence through the Hadoop FileSystem, NOT java.io.File (the
+    // appendSeenClustered rule): a local-File check on an hdfs://-/
+    // s3a://-style outDir is always false, which would silently resume
+    // the crawl with an EMPTY seen set and re-fetch everything
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/seen")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       spark.read.parquet(s"$outDir/seen")
     else {
       import org.apache.spark.sql.types._
