@@ -156,6 +156,12 @@ object Cbor {
         var v = 0L
         var i = 1
         while (i <= width) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+        // a 64-bit argument >= 2^63 wraps negative in a Long. As a LENGTH
+        // it would then PASS the `<= remaining` bound checks and truncate
+        // via toInt (a claimed 2^63+5-byte string silently decoding as 5
+        // bytes); as an INTEGER it would silently decode as the wrong
+        // negative value. Neither fits this interchange — reject cleanly.
+        require(v >= 0, "CBOR 64-bit argument exceeds supported range")
         (v, off + 1 + width)
       }
     }

@@ -156,6 +156,22 @@ class CborSpec extends AnyFunSuite {
     }
   }
 
+  test("64-bit arguments past 2^63 are rejected, not wrapped") {
+    // a Long-wrapping length would PASS the bound checks negative and
+    // toInt-truncate (a claimed 2^63+5-byte string decoding as 5 bytes);
+    // a wrapping uint64 would decode as the wrong negative CInt
+    for (bad <- Seq(
+        // uint64 value 2^63 (major 0, 8-byte arg, top bit set)
+        Array(0x1b, 0x80, 0, 0, 0, 0, 0, 0, 0).map(_.toByte),
+        // byte string claiming length 2^63+5 with 5 bytes present
+        Array(0x5b, 0x80, 0, 0, 0, 0, 0, 0, 5, 1, 2, 3, 4, 5).map(_.toByte),
+        // array claiming 2^63 elements
+        Array(0x9b, 0x80, 0, 0, 0, 0, 0, 0, 0).map(_.toByte))) {
+      val e = intercept[IllegalArgumentException](Cbor.decodeOne(bad, 0))
+      assert(e.getMessage.contains("supported range"), s"${hex(bad)}: ${e.getMessage}")
+    }
+  }
+
   test("truncated multi-byte arguments and deep nesting fail cleanly") {
     // header byte promises an 8-byte argument, buffer has 3: must be the
     // documented IllegalArgumentException, not ArrayIndexOutOfBounds
