@@ -204,11 +204,31 @@ object HttpOps {
     case other => Left(s"unsupported_encoding:$other")
   }
 
-  private def readAll(in: java.io.InputStream): Array[Byte] = {
+  /** Decompression-bomb guard, same 1 GiB bound the Brotli decoder
+    * enforces internally: web payloads are untrusted, and a few-KB
+    * gzip/zstd/deflate bomb must fail ITS record with a clean error row
+    * (`*_error:OutputTooLarge`) — not OOM the executor and kill every
+    * retry of the whole task.
+    */
+  private[graft] val MaxDecompressedBytes: Long = 1L << 30
+
+  private[graft] final class OutputTooLarge
+      extends java.io.IOException("decompressed output exceeds the 1 GiB guard")
+
+  private def readAll(in: java.io.InputStream): Array[Byte] =
+    readAll(in, MaxDecompressedBytes)
+
+  private[graft] def readAll(in: java.io.InputStream, max: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
+    var total = 0L
     var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0) {
+      total += n
+      if (total > max) throw new OutputTooLarge
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
     out.toByteArray
   }
 

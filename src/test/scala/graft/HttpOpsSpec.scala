@@ -138,4 +138,18 @@ class HttpOpsSpec extends AnyFunSuite {
     g.write(data); g.close()
     out.toByteArray
   }
+
+  test("decompression bomb guard: output past the cap fails the record " +
+    "cleanly (OutputTooLarge), never materializes") {
+    // 64 KiB of zeros gzips to ~80 bytes; decode through a 1000-byte cap
+    // exercises exactly the guard the 1 GiB production bound uses
+    val bomb = gzipBytes(new Array[Byte](65536))
+    val e = intercept[Exception](HttpOps.readAll(
+      new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bomb)), 1000L))
+    // decompress() reports errors as "<codec>_error:<SimpleName>" — pin
+    // the name the error row will carry
+    assert(e.getClass.getSimpleName == "OutputTooLarge")
+    // sanity: the same stream under the real cap decodes fine
+    assert(HttpOps.decompress("gzip", bomb).exists(_.length == 65536))
+  }
 }
