@@ -668,7 +668,10 @@ object Brotli {
       }
     val winSize = (1 << wbits) - 16
 
-    val out = new Output(math.min(input.length * 4, 1 << 20), maxOutput)
+    // Long arithmetic: `input.length * 4` wraps negative past 512 MiB of
+    // input. Output's max(64, ...) clamp happens to absorb that today,
+    // but the hint should be correct on its own, not rescued downstream.
+    val out = new Output(math.min(input.length.toLong * 4, 1L << 20).toInt, maxOutput)
     // Initial "four last distances" (§4): the spec lists 16, 15, 11, 4
     // OLDEST-first — the initial LAST distance is 4 (so short code 0
     // resolves to 4, code 7 = last+2 = 6), second-to-last 11, then 15,
