@@ -293,6 +293,11 @@ object WarcSplit {
                          path: org.apache.hadoop.fs.Path, fileLen: Long,
                          splitBytes: Long, maxRecordBytes: Int): Seq[Split] = {
     val file = path.toString
+    // a zero-byte file is the valid EMPTY archive (what writeSingleFile
+    // of an empty dataset produces, and what WarcFileDecoder decodes as
+    // zero records) — zero splits, not a format error that would kill a
+    // whole readSplitDir fleet over one empty member
+    if (fileLen == 0) return Seq.empty
     def readAt(off: Long, n: Int): Array[Byte] = {
       val a = new Array[Byte](n)
       val in = fs.open(path)

@@ -213,6 +213,10 @@ class WarcSplitSpec extends AnyFunSuite {
     // out of the shared broadcast map, not some other file's
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/d.warc.zst"),
       WarcBytes.encodeZstd(d, dict = Some(("other material " * 60).getBytes("UTF-8"))))
+    // an EMPTY archive in the fleet (what writeSingleFile of an empty
+    // dataset produces) contributes zero splits, not a format error
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/e.warc.gz"),
+      Array.empty[Byte])
     val all = (a ++ b ++ c ++ d).map(key).sorted
     val ds = WarcSplit.readSplitDir(spark, tmp, splitBytes = 1500L)
     assert(ds.collect().map(key).sorted.toSeq == all)
