@@ -194,13 +194,15 @@ object Cbor {
         val (bytes, nx) = stringChunks(2); (CBytes(bytes), nx)
       case 2 =>
         val (len, nx) = argAndNext
-        require(nx + len <= b.length, "truncated byte string")
+        // `len <= b.length - nx`, not `nx + len <= b.length`: the latter
+        // wraps negative for a claimed length near 2^63 and would pass
+        require(len <= b.length - nx, "truncated byte string")
         (CBytes(java.util.Arrays.copyOfRange(b, nx, nx + len.toInt)), nx + len.toInt)
       case 3 if info == 31 =>
         val (bytes, nx) = stringChunks(3); (CText(new String(bytes, "UTF-8")), nx)
       case 3 =>
         val (len, nx) = argAndNext
-        require(nx + len <= b.length, "truncated text string")
+        require(len <= b.length - nx, "truncated text string")
         (CText(new String(b, nx, len.toInt, "UTF-8")), nx + len.toInt)
       case 4 if info == 31 =>
         var nx = off + 1

@@ -187,8 +187,13 @@ object Avi {
             c2 == 'd' && (c3 == 'b' || c3 == 'c')) (c0 - '0') * 10 + (c1 - '0')
         else -1
       }
-      // walk: LIST bodies are walked recursively; leaf chunks by id
-      def walk(end: Int): Unit = {
+      // walk: LIST bodies are walked recursively; leaf chunks by id.
+      // Depth-capped: a crafted file of nested LISTs (12 bytes/level)
+      // would otherwise recurse to StackOverflowError, which NonFatal
+      // does NOT catch — the task would die instead of returning None.
+      // Real AVI nests 3 deep (RIFF > hdrl > strl); 64 is generous.
+      def walk(end: Int, depth: Int): Unit = {
+        if (depth > 64) throw new RuntimeException("LIST nesting too deep")
         while (bb.position() + 8 <= end) {
           val id = bb.getInt()
           val len = bb.getInt()
@@ -202,7 +207,7 @@ object Avi {
           if (id == 0) throw new RuntimeException("null chunk id")
           if (id == LIST) {
             bb.getInt() // list type ('hdrl'/'strl'/'movi'/...)
-            walk(body + len)
+            walk(body + len, depth + 1)
           } else if (id == fourCC("avih") && len >= 40) {
             bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt()
             bb.getInt(); bb.getInt(); bb.getInt()
@@ -231,7 +236,7 @@ object Avi {
           bb.position(body + len + (len & 1))
         }
       }
-      walk(math.min(bytes.length, 8 + riffLen))
+      walk(math.min(bytes.length, 8 + riffLen), 0)
       val rowBytes = ((width * 3 + 3) / 4) * 4
       val out = framesByStream.get(vidsStream)
         .map(_.toVector).getOrElse(Vector.empty)

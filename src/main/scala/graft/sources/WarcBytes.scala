@@ -100,6 +100,9 @@ object WarcBytes {
         if (headerEnd < 0) {
           require(len <= MaxHeaderLen + 4, s"missing header terminator at offset $base")
         } else {
+          // the cap applies even when a terminator IS eventually found —
+          // the reference treats any header block past 32 KiB as malformed
+          require(headerEnd <= MaxHeaderLen, s"header exceeds $MaxHeaderLen bytes at offset $base")
           val headerBytes = java.util.Arrays.copyOfRange(buf, 0, headerEnd + 4)
           val (version, fields) = HeaderSerde.parse(headerBytes)
             .getOrElse(throw new IllegalArgumentException(s"bad header at offset $base"))
@@ -108,8 +111,10 @@ object WarcBytes {
           require(lenStr.nonEmpty && lenStr.length <= 18 && lenStr.forall(_.isDigit),
             s"bad Content-Length '$lenStr' at offset $base")
           val blockLenL = lenStr.toLong
-          // i32 guard (a declared length >= 2^31 must error, never wrap)
-          require(blockLenL <= Int.MaxValue - 8L,
+          // i32 guard (a declared length >= 2^31 must error, never wrap);
+          // headroom for blockStart (≤ MaxHeaderLen+4) + terminator so
+          // `blockStart + blockLen + 4` below cannot overflow Int either
+          require(blockLenL <= Int.MaxValue.toLong - MaxHeaderLen - 16,
             s"Content-Length $blockLenL exceeds supported block size at offset $base")
           val blockLen = blockLenL.toInt
           val blockStart = headerEnd + 4
@@ -550,7 +555,10 @@ object WarcBytes {
       val dict =
         if (payload.length >= 4 && payload.take(4).sameElements(ZstdMagic)) {
           val size = Zstd.getFrameContentSize(payload)
-          require(size > 0, "compressed dictionary without content size")
+          // upper bound like decompressZstdFrame: never trust a corrupt
+          // pledged size with a near-2 GiB allocation
+          require(size > 0 && size <= (1L << 30),
+            s"compressed dictionary content size $size out of range")
           Zstd.decompress(payload, size.toInt)
         } else payload
       (Some(dict), (8 + len).toInt)

@@ -165,6 +165,24 @@ class AviSpec extends AnyFunSuite {
     assert(Avi.decode(bb.array()).isEmpty)
   }
 
+  test("deeply nested LIST bomb -> None, never StackOverflowError") {
+    // 10k nested LISTs at 12 bytes/level: unbounded recursion would blow
+    // the stack with an error NonFatal does NOT catch (the task dies);
+    // the depth cap must turn it into the normal None contract
+    val levels = 10000
+    val bb = java.nio.ByteBuffer.allocate(12 + 12 * levels)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 12 * levels)
+      .put("AVI ".getBytes("US-ASCII"))
+    var remaining = 12 * levels
+    while (remaining > 0) {
+      bb.put("LIST".getBytes("US-ASCII")).putInt(remaining - 8)
+        .put("hdrl".getBytes("US-ASCII"))
+      remaining -= 12
+    }
+    assert(Avi.decode(bb.array()).isEmpty)
+  }
+
   test("Synth.avis features match index arithmetic (the q77 oracle form)") {
     for (i <- 0L until 24L) {
       val row = Synth.makeAvi(i)

@@ -179,6 +179,10 @@ class CborSpec extends AnyFunSuite {
         Array(0x1b, 0x00, 0x00).map(_.toByte),          // uint64 arg cut short
         Array(0x19, 0x01).map(_.toByte),                // uint16 arg cut short
         Array(0x5a, 0xff, 0xff, 0xff, 0xff).map(_.toByte), // bytes len 4G, no data
+        // length 2^63-1 (valid Long): `off + len` would wrap negative and
+        // pass a naive `<= b.length` bound — must still say "truncated"
+        Array(0x5b, 0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 1).map(_.toByte),
+        Array(0x7b, 0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0x61).map(_.toByte),
         Array(0x9b, 0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte))) {
       val e = intercept[IllegalArgumentException](Cbor.decodeOne(bad, 0))
       assert(e.getMessage.contains("truncated") || e.getMessage.contains("nesting"),

@@ -81,6 +81,22 @@ class WarcCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("offset") || e.getMessage.contains("truncated"))
     assert(WarcBytes.detectFormat("not a warc".getBytes) == "unknown")
     assert(WarcBytes.detectFormat("WARC/1.1\r\n".getBytes) == "warc")
+
+    // header block past the 32 KiB cap is malformed even when its
+    // terminator IS present (the reference's scan cap, decode.rs:15)
+    val bigHeader = ("WARC/1.1\r\nContent-Length: 0\r\nX-Pad: " +
+      "a" * (WarcBytes.MaxHeaderLen + 10) + "\r\n\r\n\r\n\r\n").getBytes
+    val eh = intercept[IllegalArgumentException](
+      WarcBytes.decodeRecords(bigHeader, "x"))
+    assert(eh.getMessage.contains("header exceeds"), eh.getMessage)
+
+    // Content-Length near 2^31: `blockStart + blockLen + 4` must not wrap
+    // Int and pass the have-enough-bytes check — clean guard error instead
+    val hugeLen = ("WARC/1.1\r\nWARC-Record-ID: <urn:a>\r\nContent-Length: " +
+      (Int.MaxValue - 20) + "\r\n\r\nxxxx\r\n\r\n").getBytes
+    val el = intercept[IllegalArgumentException](
+      WarcBytes.decodeRecords(hugeLen, "x"))
+    assert(el.getMessage.contains("exceeds supported block size"), el.getMessage)
   }
 
   test("Spark source/sink: write .warc.gz per partition, read back exact") {
