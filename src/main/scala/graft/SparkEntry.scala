@@ -503,14 +503,19 @@ object SparkEntry {
     // and a long-running crawl loop use): any row where they disagree
     // survives an exceptAll and breaks the oracle hash.
     "q26_politeness_schedule" -> ((s, dir) => {
-      val deduped = Scheduler.dedupeWithinBatch(Scheduler.canonicalize(derivedFrontier(s, dir)))
+      // deduped feeds BOTH robots paths, and each path's rows feed the
+      // exceptAll fold 2-3 times — persist all three (each ≤ dedupe
+      // output cardinality) so the canonicalize + dedupe window runs
+      // once, not five times (guide §5)
+      val deduped = Scheduler.dedupeWithinBatch(
+        Scheduler.canonicalize(derivedFrontier(s, dir))).persist()
       val robots = derivedRobots(s, dir)
       def run(robotted: DataFrame) = Politeness.schedule(robotted)
         .select(col("canonical_url"), col("host"), col("host_seq"),
           col("scheduled_ms").cast("long").as("scheduled_ms"))
-      val joined = run(Politeness.applyRobots(deduped, robots))
+      val joined = run(Politeness.applyRobots(deduped, robots)).persist()
       val mapped = run(Politeness.applyRobotsMap(deduped,
-        Politeness.robotsBroadcast(robots)))
+        Politeness.robotsBroadcast(robots))).persist()
       joined.unionAll(mapped.exceptAll(joined)).unionAll(joined.exceptAll(mapped))
     }),
 
@@ -526,7 +531,10 @@ object SparkEntry {
     // whole hot leg (dedupe -> robots -> salted two-phase cap ->
     // schedule) runs for both hot-set sources.
     "q68_hot_metrics_round" -> ((s, dir) => {
-      val frontier = derivedFrontier(s, dir)
+      // the frontier is scanned by both rounds AND the metrics count —
+      // persist the one 150k-row derivation instead of re-deriving per
+      // consumer (guide §5)
+      val frontier = derivedFrontier(s, dir).persist()
       val robots = derivedRobots(s, dir)
       def sel(df: DataFrame) = df.select(col("canonical_url"), col("host"),
         col("host_seq"), col("scheduled_ms").cast("long").as("scheduled_ms"))
@@ -563,13 +571,17 @@ object SparkEntry {
     // gate simultaneously checks fused == probe == oracle.
     "q69_fused_seen_round" -> ((s, dir) => {
       val robots = derivedRobots(s, dir)
+      // withHost feeds the bucketed write AND the probe round; seenDf
+      // feeds the clustered save AND the probe path's isEmpty + bloom
+      // build + exact confirm — persist both so each canonicalize +
+      // distinct runs once instead of 3-4 times (guide §5)
       val withHost = derivedFrontier(s, dir)
-        .withColumn("host", Canonical.hostOf(col("url")))
+        .withColumn("host", Canonical.hostOf(col("url"))).persist()
       val half1 = ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
         .select(frontierUrl.as("url"),
           pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band"))
       val seenDf = Scheduler.canonicalize(half1)
-        .select(col("host"), col("url_key")).distinct()
+        .select(col("host"), col("url_key")).distinct().persist()
       val base = s"/tmp/graft-q69/${new java.io.File(dir).getName}"
       s.sql("DROP TABLE IF EXISTS graft_q69_frontier")
       withHost.repartition(8, col("host"))
@@ -597,13 +609,21 @@ object SparkEntry {
     // so DuckDB can recompute them: %4==0 saved, %4==1 appended.
     "q70_seen_append_round" -> ((s, dir) => {
       val robots = derivedRobots(s, dir)
+      // withHost feeds the bucketed write AND the probe round; each
+      // quarter feeds its clustered write AND the probe path's isEmpty +
+      // bloom build + exact confirm — persist (and memoize the quarters:
+      // `def quarter` built a FRESH plan per call, so the same
+      // canonicalize + distinct executed 4-5 times per quarter)
       val withHost = derivedFrontier(s, dir)
-        .withColumn("host", Canonical.hostOf(col("url")))
-      def quarter(r: Int) = Scheduler.canonicalize(
-        ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(4)) === r)
-          .select(frontierUrl.as("url"),
-            pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band")))
-        .select(col("host"), col("url_key")).distinct()
+        .withColumn("host", Canonical.hostOf(col("url"))).persist()
+      val quarter: Int => DataFrame = {
+        val memo = scala.collection.mutable.Map.empty[Int, DataFrame]
+        r => memo.getOrElseUpdate(r, Scheduler.canonicalize(
+          ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(4)) === r)
+            .select(frontierUrl.as("url"),
+              pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band")))
+          .select(col("host"), col("url_key")).distinct().persist())
+      }
       val base = s"/tmp/graft-q70/${new java.io.File(dir).getName}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       s.sql("DROP TABLE IF EXISTS graft_q70_frontier")
@@ -745,12 +765,15 @@ object SparkEntry {
       import s.implicits._
       val offsets = offs.toSeq.toDF("b", "off")
       val wB = Window.partitionBy("b").orderBy("o_orderkey")
+      // seg feeds the totals aggregate AND the kept join — persist so
+      // the ranking window runs once (guide §5; 150k narrow rows)
       val seg = src.withColumn("b", bucketExpr)
         .join(broadcast(offsets), "b")
         .withColumn("rk", (row_number().over(wB) + col("off")).cast("long"))
         .select(((col("rk") - 1) / 8).cast("long").as("c"),
           (pmod(col("rk") - 1, lit(8)) + 1).as("n"),
           (lit(100) + pmod(col("rk"), lit(50))).as("len"))
+        .persist()
       val totals = seg.groupBy("c")
         .agg(sum("len").as("chain_sum"), max("n").as("chain_max"))
       val kept = seg.join(totals, "c")
@@ -997,10 +1020,13 @@ object SparkEntry {
     "q41_seen_bloom_dedupe" -> ((s, dir) => {
       val candidates = Scheduler.dedupeWithinBatch(
         Scheduler.canonicalize(derivedFrontier(s, dir)))
+      // seenKeys feeds the bloom build AND the exact confirm anti-join —
+      // persist the 8-byte key set so its canonicalize + distinct runs
+      // once (guide §5)
       val seenKeys = Scheduler.canonicalize(
         ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
           .select(frontierUrl.as("url"), lit(0).as("priority_band")))
-        .select(col("url_key")).distinct()
+        .select(col("url_key")).distinct().persist()
       val buckets = SeenSet.buildBuckets(seenKeys, "url_key", 16, 1 << 16)
       SeenSet.probeAndConfirm(candidates, seenKeys, "url_key", buckets, 16)
         .select(col("canonical_url"), col("priority_band"))
@@ -1057,11 +1083,14 @@ object SparkEntry {
     "q54_cbor_messages" -> ((s, dir) => {
       val d = ft(s, dir, "documents")
       val msgs = graft.ops.MessageCbor.exportCborMessages(d, "doc_id", "text")
-      val seq = graft.ops.MessageCbor.toCborSeq(msgs)
+      // the framed sequence feeds BOTH the canonical and foreign decode
+      // legs, and each leg's rows feed the exceptAll fold 2-3 times —
+      // persist all three (guide §5)
+      val seq = graft.ops.MessageCbor.toCborSeq(msgs).persist()
       def validated(sq: DataFrame) = graft.ops.MessageCbor.importValidate(
         graft.ops.MessageCbor.fromCborSeq(sq))
         .select(col("id"), col("n_messages"), col("roundtrip_ok"))
-      val canon = validated(seq)
+      val canon = validated(seq).persist()
       // FOREIGN-ENCODER injection (decoder generality, RFC 8949 §3.2):
       // every item re-encoded with indefinite-length strings/arrays/maps
       // and tagged integers — a different conforming encoder's legal
@@ -1075,7 +1104,7 @@ object SparkEntry {
         }
         out.toByteArray
       })
-      val foreign = validated(seq.withColumn("seq", foreignize(col("seq"))))
+      val foreign = validated(seq.withColumn("seq", foreignize(col("seq")))).persist()
       canon.unionAll(foreign.exceptAll(canon)).unionAll(canon.exceptAll(foreign))
     }),
 
@@ -1085,10 +1114,11 @@ object SparkEntry {
     "q52_seen_cuckoo_dedupe" -> ((s, dir) => {
       val candidates = Scheduler.dedupeWithinBatch(
         Scheduler.canonicalize(derivedFrontier(s, dir)))
+      // persist for the build + confirm double-consumption (see q41)
       val seenKeys = Scheduler.canonicalize(
         ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
           .select(frontierUrl.as("url"), lit(0).as("priority_band")))
-        .select(col("url_key")).distinct()
+        .select(col("url_key")).distinct().persist()
       val buckets = CuckooSeenSet.buildBuckets(seenKeys, "url_key", 16, 1 << 16)
       CuckooSeenSet.probeAndConfirm(candidates, seenKeys, "url_key", buckets, 16)
         .select(col("canonical_url"), col("priority_band"))
@@ -1104,8 +1134,11 @@ object SparkEntry {
         ft(s, dir, "orders").where(c)
           .select(frontierUrl.as("url"), lit(0).as("priority_band")))
         .select(col("url_key")).distinct()
-      val seenKeys = keysWhere(pmod(col("o_orderkey"), lit(2)) === 0)
-      val delKeys = keysWhere(pmod(col("o_orderkey"), lit(3)) === 0)
+      // seenKeys feeds the cuckoo build, the deletion semi-join gate and
+      // the post-delete membership; delKeys feeds the deletion and the
+      // remaining anti-join — persist both key sets (guide §5)
+      val seenKeys = keysWhere(pmod(col("o_orderkey"), lit(2)) === 0).persist()
+      val delKeys = keysWhere(pmod(col("o_orderkey"), lit(3)) === 0).persist()
       val buckets = CuckooSeenSet.buildBuckets(seenKeys, "url_key", 16, 1 << 16)
       val afterDel = CuckooSeenSet.deleteKeys(buckets, delKeys, "url_key", 16, seenKeys)
       val remaining = seenKeys.join(delKeys, Seq("url_key"), "left_anti")
@@ -1209,6 +1242,10 @@ object SparkEntry {
     "q56_robots_raw" -> ((s, dir) => {
       val deduped = Scheduler.dedupeWithinBatch(
         Scheduler.canonicalize(derivedFrontier(s, dir)))
+      // host-cardinality (37 rows at bench sf) but consumed FOUR times —
+      // the per-call size probe of both applyRawRobots paths, the
+      // broadcast collect, and the distributed rule compile — each of
+      // which re-ran the orders scan + distinct; persist (guide §5)
       val bodies = t(s, dir, "orders")
         .select(pmod(pmod(col("o_orderkey"), lit(3000)), lit(37)).as("hn")).distinct()
         .select(
@@ -1221,10 +1258,12 @@ object SparkEntry {
             lit("\n"),
             when(pmod(col("hn"), lit(7)) === 0, lit("Disallow: /p/1\n")).otherwise(lit("")),
             when(pmod(col("hn"), lit(14)) === 0, lit("Allow: /p/12\n")).otherwise(lit("")))
-            .as("body"))
+            .as("body")).persist()
+      // the deduped+path frontier feeds both size-aware paths — persist
+      // so the canonicalize + dedupe window runs once (guide §5)
       val withPath = deduped.withColumn("path",
         regexp_extract(col("canonical_url"),
-          "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+          "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)).persist()
       // gate BOTH size-aware paths: broadcast (default) and distributed
       // (forced via maxBroadcastBytes=0). Any row where the two disagree
       // survives an exceptAll and breaks the oracle hash; when they
@@ -1602,7 +1641,7 @@ object SparkEntry {
       val seenKeys = Scheduler.canonicalize(
         ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
           .select(frontierUrl.as("url"), lit(0).as("priority_band")))
-        .select(col("url_key")).distinct()
+        .select(col("url_key")).distinct().persist() // build + confirm (see q41)
       val buckets = SeenSet.buildBuckets(seenKeys, "url_key", 16, 1 << 16)
       SeenSet.probeAndConfirm(candidates, seenKeys, "url_key", buckets, 16,
         maxBroadcastBytes = 0L)

@@ -109,12 +109,19 @@ object CuckooSeenSet {
   def probeAndConfirm(candidates: DataFrame, seenKeys: DataFrame, keyCol: String,
                       buckets: DataFrame, numBuckets: Int,
                       maxBroadcastBytes: Long = 256L << 20): DataFrame = {
-    val totalBytes = buckets
+    // persist across the size probe + collect/cogroup pair, exactly like
+    // [[SeenSet.probeAndConfirm]] — without it the whole filter build
+    // (and any deleteKeys chain feeding it) runs twice
+    val cached = buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalBytes = cached
       .agg(coalesce(sum(length(col("cuckoo"))), lit(0L))).head.getLong(0)
+    val broadcastPath = totalBytes <= maxBroadcastBytes
     val probed =
-      if (totalBytes <= maxBroadcastBytes)
-        probeBroadcast(candidates, keyCol, buckets, numBuckets)
-      else probeDistributed(candidates, keyCol, buckets, numBuckets)
+      if (broadcastPath) {
+        val p = probeBroadcast(candidates, keyCol, cached, numBuckets)
+        cached.unpersist(false) // collect already ran; nothing lazy reads it
+        p
+      } else probeDistributed(candidates, keyCol, cached, numBuckets)
     val definitelyNew = probed.where(!col("maybe_seen")).drop("maybe_seen")
     val needConfirm = probed.where(col("maybe_seen")).drop("maybe_seen")
     val confirmedNew = needConfirm.join(

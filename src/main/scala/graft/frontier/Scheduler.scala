@@ -673,22 +673,30 @@ object Scheduler {
     * dirs (the sandbox stand-in for Iceberg snapshot append).
     */
   def checkpointRound(batches: DataFrame, outDir: String, round: Int): Unit = {
-    // the STORED frontier snapshot is range-partitioned on
-    // (priority_band, host_hash) — the north rule's table layout: band
-    // pruning reads only the files of the bands a consumer wants, and
-    // host ranges spread hot hosts across files. Compute stages keep
-    // the hash(host) layout (see runRound); the range exchange happens
-    // exactly once, at the write.
-    batches
-      .repartitionByRange(col("priority_band"), col("host_hash"))
-      .sortWithinPartitions("priority_band", "host_hash", "scheduled_ms", "canonical_url")
-      .write.mode("overwrite").parquet(s"$outDir/rounds/round=$round")
-    // (host, url_key) so the seen set can also be stored host-clustered
-    // (saveSeenClustered) and feed the fused zero-exchange seen round;
-    // url_key-only consumers (bloom build, exact confirm) just ignore
-    // the extra column
-    batches.select("host", "url_key").distinct()
-      .write.mode("overwrite").parquet(s"$outDir/seen/round=$round")
+    // TWO writes consume `batches` (the round snapshot and the seen-key
+    // delta) — without a persist the entire round pipeline executes
+    // twice per checkpoint (guide §5: reused and expensive to
+    // recompute). The cache lives exactly as long as this call: both
+    // writes are synchronous, so it unpersists before returning.
+    val cached = batches.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the STORED frontier snapshot is range-partitioned on
+      // (priority_band, host_hash) — the north rule's table layout: band
+      // pruning reads only the files of the bands a consumer wants, and
+      // host ranges spread hot hosts across files. Compute stages keep
+      // the hash(host) layout (see runRound); the range exchange happens
+      // exactly once, at the write.
+      cached
+        .repartitionByRange(col("priority_band"), col("host_hash"))
+        .sortWithinPartitions("priority_band", "host_hash", "scheduled_ms", "canonical_url")
+        .write.mode("overwrite").parquet(s"$outDir/rounds/round=$round")
+      // (host, url_key) so the seen set can also be stored host-clustered
+      // (saveSeenClustered) and feed the fused zero-exchange seen round;
+      // url_key-only consumers (bloom build, exact confirm) just ignore
+      // the extra column
+      cached.select("host", "url_key").distinct()
+        .write.mode("overwrite").parquet(s"$outDir/seen/round=$round")
+    } finally { cached.unpersist(false); () }
   }
 
   /** Write a (host, url_key) seen snapshot as a host-clustered table

@@ -95,12 +95,22 @@ object SeenSet {
   def probeAndConfirm(candidates: DataFrame, seenKeys: DataFrame, keyCol: String,
                       buckets: DataFrame, numBuckets: Int,
                       maxBroadcastBytes: Long = 256L << 20): DataFrame = {
-    val totalBytes = buckets
+    // the bucket table is consumed twice at construction time — once by
+    // the size probe, once by the broadcast collect (or the distributed
+    // cogroup) — and each consumption would otherwise re-run the whole
+    // build (key shuffle + bloom fold). Persist across the two (guide
+    // §5: reused AND expensive to recompute); the broadcast path
+    // unpersists as soon as its collect has happened.
+    val cached = buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalBytes = cached
       .agg(coalesce(sum(length(col("bloom"))), lit(0L))).head.getLong(0)
+    val broadcastPath = totalBytes <= maxBroadcastBytes
     val probed =
-      if (totalBytes <= maxBroadcastBytes)
-        probeBroadcast(candidates, keyCol, buckets, numBuckets)
-      else probeDistributed(candidates, keyCol, buckets, numBuckets)
+      if (broadcastPath) {
+        val p = probeBroadcast(candidates, keyCol, cached, numBuckets)
+        cached.unpersist(false) // collect already ran; nothing lazy reads it
+        p
+      } else probeDistributed(candidates, keyCol, cached, numBuckets)
     val definitelyNew = probed.where(!col("maybe_seen")).drop("maybe_seen")
     val needConfirm = probed.where(col("maybe_seen")).drop("maybe_seen")
     val confirmedNew = needConfirm.join(

@@ -206,11 +206,15 @@ object VerifyOp {
       getU64Strict(f, "Content-Length").as("len"),
       getU64Strict(f, "WARC-Segment-Total-Length").as("total_len"))
       .where(col("origin_id").isNotNull && col("n").isNotNull)
+    // chain-cardinality table consumed by BOTH problem branches below —
+    // persist so the per-record scan + grouping runs once, not twice
+    // (guide §5; rows = one per chain, far smaller than the input)
     val agg = segs.groupBy("origin_id").agg(
       count(lit(1)).as("n_segs"),
       max("n").as("max_n"),
       sum("len").as("sum_len"),
       max("total_len").as("total_len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gap = agg.where(col("max_n") =!= col("n_segs"))
       .select(col("origin_id"), lit("missing_segment").as("kind"),
         concat(lit("have "), col("n_segs"), lit(" of "), col("max_n")).as("detail"))
