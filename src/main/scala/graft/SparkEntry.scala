@@ -1455,9 +1455,27 @@ object SparkEntry {
       // drop the previous run's tree first: creates into a dir holding
       // tens of thousands of stale entries (incl. historical .crc
       // sidecars) get progressively slower, and the tree should not
-      // accrete across runs
-      org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(treeDir), true)
+      // accrete across runs. The drop is an O(1) RENAME into a trash
+      // sibling + background unlink — the synchronous recursive delete
+      // of a 50k-file tree cost 2-4 s of driver time INSIDE the timed
+      // query (the writer itself never needs the old tree gone: conflict
+      // resolution is in-memory and every create overwrites). Trash dirs
+      // left by a killed JVM are swept by the next run's thread.
+      val treeRoot = new java.io.File(treeDir)
+      if (treeRoot.exists()) {
+        treeRoot.renameTo(new java.io.File(
+          s"$treeDir.trash-${ProcessHandle.current().pid()}-${System.nanoTime()}"))
+        ()
+      }
+      val trash = Option(new java.io.File(treeDir).getParentFile.listFiles)
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith(treeRoot.getName + ".trash-"))
+      if (trash.nonEmpty) {
+        val t = new Thread(() => trash.foreach(
+          org.apache.commons.io.FileUtils.deleteQuietly))
+        t.setDaemon(true)
+        t.start()
+      }
       val lineage = ExtractOp.writeTree(ExtractOp.extract(records), treeDir)
       val parts = split(col("resolved_path"), "/")
       val fin = element_at(parts, -1)

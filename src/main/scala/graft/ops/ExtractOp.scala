@@ -74,6 +74,49 @@ object ExtractOp {
     }
   }
 
+  /** The routing decision + every header `extract` consumes, in ONE
+    * array traversal per row. The Column formulation (decoderKind +
+    * three fieldGet/fieldContains lookups) planned as ~15 interpreted
+    * higher-order-function subtrees per row after filter pushdown —
+    * CollapseProject/PushDownPredicates re-inline the `fields`
+    * construction into EVERY lookup, and HOF lambdas are CodegenFallback
+    * — measured as the dominant cost of the crawl→table bridge (q59:
+    * ~1.4 ms/row of a 43 KB inlined filter condition). Same rule-engine-
+    * as-one-UDF treatment as [[VerifyOp.checkFields]]; semantics are
+    * identical (first case-insensitive match; media-type grammar and
+    * case-sensitive msgtype compare mirror [[FieldOps.mediaType]]) and
+    * remain oracle-gated end to end (q33, q59, q64).
+    */
+  private val MediaTypeRe = ("^([!#$%&'*+.^_`|~0-9A-Za-z-]+)/([!#$%&'*+.^_`|~0-9A-Za-z-]+)" +
+    "((\\s*;\\s*[!#$%&'*+.^_`|~0-9A-Za-z-]+=[!#$%&'*+.^_`|~0-9A-Za-z-]+)*)$").r
+
+  private val routeUdf = udf { (fields: Seq[org.apache.spark.sql.Row]) =>
+    def get(n: String): Option[String] =
+      fields.find(r => r.getString(0).equalsIgnoreCase(n)).map(_.getString(1))
+    def has(n: String): Boolean =
+      fields.exists(r => r.getString(0).equalsIgnoreCase(n))
+    val recType = get("WARC-Type").map(_.toLowerCase).getOrElse("")
+    val uri = get("WARC-Target-URI")
+    val isHttpResponse = get("Content-Type").exists {
+      case MediaTypeRe(t, s, params, _) =>
+        t.equalsIgnoreCase("application") && s.equalsIgnoreCase("http") && {
+          // first occurrence wins, case-sensitive compare — exactly the
+          // str_to_map + try_element_at semantics of the Column form
+          val msgtype = params.split(";").iterator.map(_.trim).filter(_.nonEmpty)
+            .map { kv => val i = kv.indexOf('='); (kv.substring(0, i), kv.substring(i + 1)) }
+            .collectFirst { case ("msgtype", v) => v }
+          msgtype.contains("response")
+        }
+      case _ => false
+    }
+    val kind =
+      if (has("WARC-Segment-Number")) "none"
+      else if (recType == "response" && uri.isDefined && isHttpResponse) "http"
+      else if ((recType == "resource" || recType == "conversion") && uri.isDefined) "identity"
+      else "none"
+    (kind, uri.orNull, recType == "conversion", has("WARC-Truncated"))
+  }
+
   /** Extract eligible records: adds decoder_kind, extracted bytes,
     * path_components, http status/ok, and the xxh3 conflict id
     * (app/extract.rs:104-167 — bit-matching the reference's conflict
@@ -81,8 +124,9 @@ object ExtractOp {
     */
   def extract(records: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(records.sparkSession)
-    val routed = records.withColumn("decoder_kind", decoderKind(col("fields")))
-      .where(col("decoder_kind") =!= "none")
+    val routed = records.withColumn("__route", routeUdf(col("fields")))
+      .where(col("__route._1") =!= "none")
+      .withColumn("decoder_kind", col("__route._1"))
     routed
       .withColumn("http", when(col("decoder_kind") === "http", parseHttpUdf(col("bytes"))))
       .withColumn("extracted",
@@ -91,12 +135,11 @@ object ExtractOp {
       .withColumn("http_status", col("http._2"))
       .withColumn("decode_error", col("http._4"))
       .withColumn("path_components",
-        pathComponentsMarkedUdf(fieldGet(col("fields"), "WARC-Target-URI"),
-          lower(fieldGet(col("fields"), "WARC-Type")) === "conversion"))
-      .withColumn("is_truncated", fieldContains(col("fields"), "WARC-Truncated"))
+        pathComponentsMarkedUdf(col("__route._2"), col("__route._3")))
+      .withColumn("is_truncated", col("__route._4"))
       .withColumn("conflict_id",
         graft.functions.GraftFunctions.xxh3(col("extracted").cast("binary")))
-      .drop("http")
+      .drop("http").drop("__route")
   }
 
   /** S8 filesystem sink: write the extracted table as a REAL file tree
@@ -139,6 +182,15 @@ object ExtractOp {
       // Non-local schemes keep the stock FileSystem — the sink stays
       // HDFS/S3-swappable.
       val isRawLocal = scheme == null || scheme == "file"
+      // local trees additionally bypass the FileSystem WRAPPER per file:
+      // RawLocalFileSystem.create() stats the parent and re-runs mkdirs
+      // on EVERY create and wraps the stream in FSDataOutputStream
+      // bookkeeping — measured ~3x the cost of the three raw syscalls
+      // (open, write, close) the write actually needs. java.io hits the
+      // syscalls directly; non-local schemes keep the stock FileSystem
+      // so the sink stays HDFS/S3-swappable.
+      val localBase: java.io.File =
+        if (isRawLocal) new java.io.File(base.toUri.getPath) else null
       val fs: org.apache.hadoop.fs.FileSystem =
         if (isRawLocal) {
           val raw = new org.apache.hadoop.fs.RawLocalFileSystem() {
@@ -170,26 +222,36 @@ object ExtractOp {
           pathIsFile = files.contains)
         files += resolved
         resolved.inits.drop(1).takeWhile(_.nonEmpty).foreach(dirs += _)
-        val target = toPath(resolved)
-        // one exists+mkdirs per DIRECTORY, not per row (a stat per row
-        // on a large tree was the other half of the slow sink)
-        val parent = target.getParent
-        val preExisted = dirPreExisted.getOrElseUpdate(parent.toString, {
-          val existed = fs.exists(parent)
-          if (!existed) fs.mkdirs(parent)
-          existed
-        })
-        // overwriting a tree previously written through the CHECKSUMMED
-        // LocalFileSystem would leave its .crc sidecar stale (a later
-        // checksummed read then fails with ChecksumException) — drop any
-        // sibling sidecar; one unlink attempt per file, only in
-        // directories that pre-existed (fresh ones cannot hold sidecars)
-        if (isRawLocal && preExisted)
-          try fs.delete(new org.apache.hadoop.fs.Path(parent,
-            "." + target.getName + ".crc"), false)
-          catch { case _: java.io.IOException => () }
-        val out = fs.create(target, true)
-        try out.write(bytes) finally out.close()
+        if (isRawLocal) {
+          val target = resolved.foldLeft(localBase)(new java.io.File(_, _))
+          // one exists+mkdirs per DIRECTORY, not per row (a stat per row
+          // on a large tree was the other half of the slow sink)
+          val parent = target.getParentFile
+          val preExisted = dirPreExisted.getOrElseUpdate(parent.getPath, {
+            val existed = parent.isDirectory
+            if (!existed) parent.mkdirs()
+            existed
+          })
+          // overwriting a tree previously written through the CHECKSUMMED
+          // LocalFileSystem would leave its .crc sidecar stale (a later
+          // checksummed read then fails with ChecksumException) — drop any
+          // sibling sidecar; one unlink attempt per file, only in
+          // directories that pre-existed (fresh ones cannot hold sidecars)
+          if (preExisted)
+            new java.io.File(parent, "." + target.getName + ".crc").delete()
+          val out = new java.io.FileOutputStream(target) // truncates = overwrite
+          try out.write(bytes) finally out.close()
+        } else {
+          val target = toPath(resolved)
+          val parent = target.getParent
+          dirPreExisted.getOrElseUpdate(parent.toString, {
+            val existed = fs.exists(parent)
+            if (!existed) fs.mkdirs(parent)
+            existed
+          })
+          val out = fs.create(target, true)
+          try out.write(bytes) finally out.close()
+        }
         (resolved.mkString("/"), bytes.length.toLong)
       }
     }.toDF("resolved_path", "n_bytes")

@@ -51,26 +51,31 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** One bulk sRGB conversion of the whole image. Per-pixel
+    * `img.getRGB(x, y)` routes every call through the ColorModel
+    * (~0.5µs each — it DOMINATED the decode+hash path, q59); the bulk
+    * form returns the identical ints in one call.
+    */
+  private def rgbArray(img: BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
   /** Peak signal-to-noise ratio over RGB channels; Infinity when equal. */
   def psnr(a: BufferedImage, b: BufferedImage): Double = {
     if (a.getWidth != b.getWidth || a.getHeight != b.getHeight) return 0.0
+    val pa = rgbArray(a); val pb = rgbArray(b)
     var se = 0.0
-    var n = 0
-    var y = 0
-    while (y < a.getHeight) {
-      var x = 0
-      while (x < a.getWidth) {
-        val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
-        var shift = 0
-        while (shift <= 16) {
-          val d = ((pa >> shift) & 0xff) - ((pb >> shift) & 0xff)
-          se += d.toDouble * d; n += 1
-          shift += 8
-        }
-        x += 1
+    var i = 0
+    while (i < pa.length) {
+      val va = pa(i); val vb = pb(i)
+      var shift = 0
+      while (shift <= 16) {
+        val d = ((va >> shift) & 0xff) - ((vb >> shift) & 0xff)
+        se += d.toDouble * d
+        shift += 8
       }
-      y += 1
+      i += 1
     }
+    val n = pa.length * 3
     if (se == 0.0) Double.PositiveInfinity
     else 10.0 * math.log10(255.0 * 255.0 * n / se)
   }
@@ -81,19 +86,21 @@ object Multimodal {
     */
   def phash64(img: BufferedImage): Long = {
     val gw = 8; val gh = 8
+    val iw = img.getWidth; val ih = img.getHeight
+    val px = rgbArray(img) // one bulk conversion instead of w*h getRGB calls
     val means = new Array[Double](gw * gh)
     var gy = 0
     while (gy < gh) {
       var gx = 0
       while (gx < gw) {
-        val x0 = gx * img.getWidth / gw; val x1 = math.max((gx + 1) * img.getWidth / gw, x0 + 1)
-        val y0 = gy * img.getHeight / gh; val y1 = math.max((gy + 1) * img.getHeight / gh, y0 + 1)
+        val x0 = gx * iw / gw; val x1 = math.max((gx + 1) * iw / gw, x0 + 1)
+        val y0 = gy * ih / gh; val y1 = math.max((gy + 1) * ih / gh, y0 + 1)
         var sum = 0.0; var cnt = 0
         var y = y0
-        while (y < y1 && y < img.getHeight) {
+        while (y < y1 && y < ih) {
           var x = x0
-          while (x < x1 && x < img.getWidth) {
-            val p = img.getRGB(x, y)
+          while (x < x1 && x < iw) {
+            val p = px(y * iw + x)
             sum += ((p >> 16) & 0xff) * 0.299 + ((p >> 8) & 0xff) * 0.587 + (p & 0xff) * 0.114
             cnt += 1
             x += 1
@@ -113,18 +120,26 @@ object Multimodal {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Nearest-neighbor resize — deterministic, library-free. */
+  /** Nearest-neighbor resize — deterministic, library-free. Bulk
+    * sRGB in/out (see [[rgbArray]]): identical pixels to the per-pixel
+    * getRGB/setRGB form without the per-call ColorModel round-trips.
+    */
   def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
-    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val iw = img.getWidth; val ih = img.getHeight
+    val src = rgbArray(img)
+    val dst = new Array[Int](w * h)
     var y = 0
     while (y < h) {
+      val sy = y * ih / h
       var x = 0
       while (x < w) {
-        out.setRGB(x, y, img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+        dst(y * w + x) = src(sy * iw + x * iw / w)
         x += 1
       }
       y += 1
     }
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    out.setRGB(0, 0, w, h, dst, 0, w)
     out
   }
 
@@ -272,21 +287,46 @@ object Multimodal {
     * alt-text/metadata sibling records into the same column; the table
     * shape is identical either way. All narrow (no shuffle).
     */
+  /** One array traversal per row for the three header lookups + the
+    * media-type parse. The Column form (mediaType + two fieldGets)
+    * re-inlined the `fields` construction into every interpreted HOF
+    * lookup after filter pushdown — the same pathology
+    * [[graft.ops.ExtractOp]]'s route UDF documents; semantics identical
+    * (first case-insensitive match; [[graft.core.FieldOps.mediaType]]
+    * grammar) and oracle-gated (q59). Returns null when Content-Type is
+    * absent/invalid or its type is not `image` — the `where` below drops
+    * those rows exactly like the old `mt.ok && mt.type === "image"`.
+    */
+  private val MediaTypeRe = ("^([!#$%&'*+.^_`|~0-9A-Za-z-]+)/([!#$%&'*+.^_`|~0-9A-Za-z-]+)" +
+    "((\\s*;\\s*[!#$%&'*+.^_`|~0-9A-Za-z-]+=[!#$%&'*+.^_`|~0-9A-Za-z-]+)*)$").r
+
+  private val imageHeadersUdf = udf { (fields: Seq[org.apache.spark.sql.Row]) =>
+    def get(n: String): Option[String] =
+      fields.find(r => r.getString(0).equalsIgnoreCase(n)).map(_.getString(1))
+    get("Content-Type").getOrElse("") match {
+      case MediaTypeRe(t, s, _, _) if t.equalsIgnoreCase("image") =>
+        (s.toLowerCase, get("WARC-Record-ID").orNull, get("WARC-Target-URI").orNull)
+      case _ => null
+    }
+  }
+
   def imagesFromExtracted(extracted: DataFrame): DataFrame = {
-    val ct = graft.core.FieldOps.fieldGet(col("fields"), "Content-Type")
-    val mt = graft.core.FieldOps.mediaType(ct)
     extracted
-      .withColumn("mt", mt)
-      .where(col("mt.ok") && col("mt.type") === "image")
-      .withColumn("meta", imageMetaPhashUdf(col("extracted")))
+      .withColumn("hdr", imageHeadersUdf(col("fields")))
+      .where(col("hdr").isNotNull)
+      // nondeterministic marking (guide §4.4): the pushed-down
+      // `meta IS NOT NULL` filter otherwise duplicates the decode UDF —
+      // every image decoded TWICE per row. The function is in fact
+      // deterministic; the marking only pins one evaluation.
+      .withColumn("meta", imageMetaPhashUdf.asNondeterministic()(col("extracted")))
       .where(col("meta").isNotNull)
       .select(
-        graft.core.FieldOps.fieldGet(col("fields"), "WARC-Record-ID").as("image_id"),
+        col("hdr._2").as("image_id"),
         col("extracted").as("bytes"),
         col("meta._1").as("w"),
         col("meta._2").as("h"),
-        col("mt.subtype").as("fmt"),
-        graft.core.FieldOps.fieldGet(col("fields"), "WARC-Target-URI").as("caption"),
+        col("hdr._1").as("fmt"),
+        col("hdr._3").as("caption"),
         col("meta._3").as("phash"))
   }
 
