@@ -424,9 +424,10 @@ object SparkEntry {
     "q13_export_messages" -> ((s, dir) =>
       ExportImportOp.exportChunks(ft(s, dir, "documents"), "doc_id", "text")),
 
-    // Import: reassemble + checksum handshake
+    // Import: reassemble + checksum handshake (the round trip scans the
+    // table twice — declared checksums + chunk explode; persist it)
     "q14_import_roundtrip" -> ((s, dir) =>
-      ExportImportOp.roundTrip(ft(s, dir, "documents"), "doc_id", "text")),
+      ExportImportOp.roundTrip(ft(s, dir, "documents").persist(), "doc_id", "text")),
 
     // Dedup: exact
     "q15_dedup_exact" -> ((s, dir) =>
@@ -811,8 +812,17 @@ object SparkEntry {
         .map { case (u, h, b, d) => graft.streaming.FrontierStream.StreamUrl(
           u, h, b, d, new java.sql.Timestamp(1700000000000L)) }
       val (b1, b2) = rows.partition(_.priority_band < 2)
+      // the stream runs in a CHILD session (shared SparkContext, own
+      // conf) with 8 shuffle partitions: flatMapGroupsWithState opens
+      // one state-store instance per shuffle partition per micro-batch,
+      // and at the session default (2×cores) the two batches paid
+      // 2×64 state-store loads+commits (checkpoint file churn) to
+      // schedule 37 hosts. Pure partitioning — the per-host state and
+      // output rows are identical at any partition count.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 8)
       val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.FrontierStream.StreamUrl](s)
+        .MemoryStream[graft.streaming.FrontierStream.StreamUrl](ss)
       val name = "q63_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.FrontierStream.politenessSchedule(input.toDS())
         .writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -820,7 +830,7 @@ object SparkEntry {
         input.addData(b1.toSeq); q.processAllAvailable()
         input.addData(b2.toSeq); q.processAllAvailable()
       } finally q.stop()
-      s.table(name).select(col("canonical_url"), col("host"), col("host_seq"),
+      ss.table(name).select(col("canonical_url"), col("host"), col("host_seq"),
         col("scheduled_ms").cast("long").as("scheduled_ms"))
     }),
 
@@ -1045,11 +1055,13 @@ object SparkEntry {
 
     // A3 failure path: import checksum mismatch on corrupted chunks
     "q43_import_reject" -> ((s, dir) => {
-      val chunks = ExportImportOp.exportChunks(ft(s, dir, "documents"), "doc_id", "text")
+      // chunk explode + declared checksums share the scan — persist it
+      val d = ft(s, dir, "documents").persist()
+      val chunks = ExportImportOp.exportChunks(d, "doc_id", "text")
         .withColumn("chunk",
           when(pmod(col("id"), lit(7)) === 0 && col("chunk_idx") === 0,
             concat(lit("X"), col("chunk"))).otherwise(col("chunk")))
-      val declared = ExportImportOp.exportBlockEnd(ft(s, dir, "documents"), "doc_id", "text")
+      val declared = ExportImportOp.exportBlockEnd(d, "doc_id", "text")
       ExportImportOp.importReassemble(chunks).join(declared, Seq("id"))
         .select(col("id"),
           (md5(col("payload").cast("binary")) === col("payload_md5")).as("ok"))
@@ -1071,7 +1083,9 @@ object SparkEntry {
     // messages, frame as a JSON-text-sequence, unframe + from_json,
     // reassemble and validate the checksum/length handshake
     "q50_json_messages" -> ((s, dir) => {
-      val d = ft(s, dir, "documents")
+      // the export fans the table into four message legs, each its own
+      // scan+repartition — persist the one source (guide §5)
+      val d = ft(s, dir, "documents").persist()
       val msgs = graft.ops.MessageJson.exportJsonMessages(d, "doc_id", "text")
       val parsed = graft.ops.MessageJson.fromJsonSeq(graft.ops.MessageJson.toJsonSeq(msgs))
       graft.ops.MessageJson.importValidate(parsed)
@@ -1081,7 +1095,8 @@ object SparkEntry {
     // CBOR twin of q50: same message run, byte-string chunks, RFC 8742
     // concatenation framing (reference dataseq.rs CBOR format)
     "q54_cbor_messages" -> ((s, dir) => {
-      val d = ft(s, dir, "documents")
+      // four export legs scan the table (see q50) — persist the source
+      val d = ft(s, dir, "documents").persist()
       val msgs = graft.ops.MessageCbor.exportCborMessages(d, "doc_id", "text")
       // the framed sequence feeds BOTH the canonical and foreign decode
       // legs, and each leg's rows feed the exceptAll fold 2-3 times —

@@ -160,12 +160,25 @@ object VerifyOp {
   def checkRecords(records: DataFrame): DataFrame =
     records.withColumn("problems", checkFieldsUdf(col("fields")))
 
+  /** record_id + problems in ONE fields traversal: the separate
+    * `fieldGet(record_id)` Column was an interpreted higher-order
+    * function whose evaluation re-inlined the caller's whole `fields`
+    * construction a second time per row (the ExtractOp.routeUdf
+    * pathology) — the id lookup rides along in the same UDF instead.
+    */
+  private val checkWithIdUdf = udf { (fields: Seq[Row]) =>
+    val fs = fields.map(r => Field(r.getString(0), r.getString(1)))
+    val rid = fs.find(_.name.equalsIgnoreCase("WARC-Record-ID"))
+      .flatMap(f => Option(f.value)).getOrElse("") // null value → "" like coalesce did
+    (rid, checkFields(fs).map { case (k, d) => ProblemKD(k, d) })
+  }
+
   /** Explode to a Problem dataset (position, record_id, kind, detail). */
   def problems(records: DataFrame): DataFrame =
-    checkRecords(records)
-      .select(col("position"),
-        coalesce(fieldGet(col("fields"), "WARC-Record-ID"), lit("")).as("record_id"),
-        explode(col("problems")).as("p"))
+    records
+      .select(col("position"), checkWithIdUdf(col("fields")).as("rp"))
+      .select(col("position"), col("rp._1").as("record_id"),
+        explode(col("rp._2")).as("p"))
       .select(col("position"), col("record_id"),
         col("p.kind").as("kind"), col("p.detail").as("detail"))
 
@@ -177,14 +190,33 @@ object VerifyOp {
   def missingReferences(records: DataFrame,
                         refFields: Seq[String] = Seq(
                           "WARC-Concurrent-To", "WARC-Refers-To", "WARC-Warcinfo-ID")): DataFrame = {
-    val ids = records.select(
-      fieldGet(col("fields"), "WARC-Record-ID").as("target_id")).where(col("target_id").isNotNull)
-    val refs = refFields.map { rf =>
-      records.select(col("position"),
-        fieldGet(col("fields"), "WARC-Record-ID").as("record_id"),
-        explode(fieldGetAll(col("fields"), rf)).as("target_id"),
-        lit(rf).as("via"))
-    }.reduce(_ unionByName _)
+    // ONE fields traversal per row for the id AND every reference field
+    // (insertion order preserved per field, like fieldGetAll). The
+    // union-of-three-scans form evaluated four interpreted HOF lookups,
+    // each re-inlining the caller's fields construction — 4 full scans
+    // of the record set for one anti-join probe side.
+    val rfList = refFields
+    val idRefsUdf = udf { (fields: Seq[Row]) =>
+      val rid = fields.find(_.getString(0).equalsIgnoreCase("WARC-Record-ID"))
+        .map(_.getString(1)).orNull
+      val refs = rfList.flatMap { rf =>
+        fields.collect { case r if r.getString(0).equalsIgnoreCase(rf) =>
+          (rf, r.getString(1))
+        }
+      }
+      (rid, refs)
+    }
+    // both the id universe and the probe side read `base` — persist the
+    // narrow (position, id, refs) projection so the record scan + UDF
+    // runs once (guide §5)
+    val base = records.select(col("position"), idRefsUdf(col("fields")).as("ir"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = base.select(col("ir._1").as("target_id"))
+      .where(col("target_id").isNotNull)
+    val refs = base.select(col("position"), col("ir._1").as("record_id"),
+        explode(col("ir._2")).as("r"))
+      .select(col("position"), col("record_id"),
+        col("r._2").as("target_id"), col("r._1").as("via"))
     refs.join(ids.distinct(), Seq("target_id"), "left_anti")
       .select(col("position"), col("record_id"),
         lit("referenced_record_missing").as("kind"),
