@@ -510,7 +510,7 @@ object SparkEntry {
       // once, not five times (guide §5)
       val deduped = Scheduler.dedupeWithinBatch(
         Scheduler.canonicalize(derivedFrontier(s, dir))).persist()
-      val robots = derivedRobots(s, dir)
+      val robots = derivedRobots(s, dir).persist() // 2 broadcast builds + map collect
       def run(robotted: DataFrame) = Politeness.schedule(robotted)
         .select(col("canonical_url"), col("host"), col("host_seq"),
           col("scheduled_ms").cast("long").as("scheduled_ms"))
@@ -536,7 +536,7 @@ object SparkEntry {
       // persist the one 150k-row derivation instead of re-deriving per
       // consumer (guide §5)
       val frontier = derivedFrontier(s, dir).persist()
-      val robots = derivedRobots(s, dir)
+      val robots = derivedRobots(s, dir).persist() // both rounds' broadcast builds
       def sel(df: DataFrame) = df.select(col("canonical_url"), col("host"),
         col("host_seq"), col("scheduled_ms").cast("long").as("scheduled_ms"))
       // both sides persist: the diff pattern below scans each side ~3x,
@@ -571,7 +571,7 @@ object SparkEntry {
     // with both difference directions vs the bloom-probe path, so the
     // gate simultaneously checks fused == probe == oracle.
     "q69_fused_seen_round" -> ((s, dir) => {
-      val robots = derivedRobots(s, dir)
+      val robots = derivedRobots(s, dir).persist() // both rounds' broadcast builds
       // withHost feeds the bucketed write AND the probe round; seenDf
       // feeds the clustered save AND the probe path's isEmpty + bloom
       // build + exact confirm — persist both so each canonicalize +
@@ -609,7 +609,7 @@ object SparkEntry {
     // Seen halves are canonical-equality-defined (the q66 parity trick)
     // so DuckDB can recompute them: %4==0 saved, %4==1 appended.
     "q70_seen_append_round" -> ((s, dir) => {
-      val robots = derivedRobots(s, dir)
+      val robots = derivedRobots(s, dir).persist() // both rounds' broadcast builds
       // withHost feeds the bucketed write AND the probe round; each
       // quarter feeds its clustered write AND the probe path's isEmpty +
       // bloom build + exact confirm — persist (and memoize the quarters:
@@ -670,12 +670,19 @@ object SparkEntry {
           StructField("url_key", LongType))))
       Scheduler.saveSeenClustered(emptySeen, s"$base/seenc", buckets = 8)
       val sliceCol = pmod(floor(col("o_orderkey") / 7), lit(K))
+      // crawl-lifetime robots cache (the production loop's shape): one
+      // orders scan + distinct serves every round's broadcast build
+      // instead of one per round. Re-derived after the simulated kill —
+      // a cache surviving the boundary would be exactly the in-session
+      // state the kill must wipe.
+      var robots = derivedRobots(s, dir).persist()
       (0 until K).foreach { r =>
         if (r == 3) {
           // simulated kill: no in-session state survives the boundary —
           // every input below re-derives from storage or source tables
           s.catalog.clearCache()
           s.sql("DROP TABLE IF EXISTS graft_q72_frontier")
+          robots = derivedRobots(s, dir).persist()
         }
         val slice = ft(s, dir, "orders").where(sliceCol === r)
           .select(frontierUrl.as("url"),
@@ -687,7 +694,7 @@ object SparkEntry {
           .option("path", s"$base/frontier-$r").saveAsTable("graft_q72_frontier")
         val sched = Scheduler.runRound(s.table("graft_q72_frontier"),
           Scheduler.loadSeenClustered(s, s"$base/seenc", buckets = 8),
-          derivedRobots(s, dir), maxPerHostPerRound = 40,
+          robots, maxPerHostPerRound = 40,
           frontierHostClustered = true, seenHostClustered = true)
         Scheduler.checkpointRound(sched, base, r)
         Scheduler.appendSeenClustered(
@@ -716,7 +723,7 @@ object SparkEntry {
     // robots-surviving half-1 keys). CheckpointSpec covers kill-resume
     // equivalence; this gates the parquet round-trip under the driver.
     "q66_checkpoint_resume" -> ((s, dir) => {
-      val robots = derivedRobots(s, dir)
+      val robots = derivedRobots(s, dir).persist() // both rounds' broadcast builds
       val half1 = ft(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
         .select(frontierUrl.as("url"),
           pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band"))

@@ -76,19 +76,42 @@ object Dedup {
     require(n >= 1 && n <= 4, s"numHashes must be 1..4, got $n")
     if (sh == null || sh.isEmpty) MinhashSig4(null, null, null, null)
     else {
+      // one pass over the shingles, all salts per shingle, and the min
+      // tracked as RAW digest bytes: unsigned byte order == lowercase-hex
+      // lexicographic order (two hex chars per byte, in byte order), so
+      // only the per-salt WINNER converts to hex — the per-shingle
+      // "$i|$s" concat + 32-char hex alloc + string compare were ~half
+      // the signature pass (bit-identical output)
       val md = java.security.MessageDigest.getInstance("MD5")
-      val mins = new Array[String](4)
-      var i = 0
-      while (i < n) {
-        var min: String = null
-        sh.foreach { s =>
-          val h = md5Hex(md, s"$i|$s")
-          if (min == null || h < min) min = h
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val prefixes = Array.tabulate(n)(i => s"$i|".getBytes(utf8))
+      val mins = new Array[Array[Byte]](4)
+      sh.foreach { s =>
+        val sb = s.getBytes(utf8)
+        var i = 0
+        while (i < n) {
+          md.reset()
+          md.update(prefixes(i))
+          md.update(sb)
+          val d = md.digest()
+          if (mins(i) == null || java.util.Arrays.compareUnsigned(d, mins(i)) < 0)
+            mins(i) = d
+          i += 1
         }
-        mins(i) = min
-        i += 1
       }
-      MinhashSig4(mins(0), mins(1), mins(2), mins(3))
+      def hex(d: Array[Byte]): String =
+        if (d == null) null
+        else {
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(i * 2) = HexDigits((d(i) >> 4) & 0xf)
+            out(i * 2 + 1) = HexDigits(d(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+      MinhashSig4(hex(mins(0)), hex(mins(1)), hex(mins(2)), hex(mins(3)))
     }
   }
 
