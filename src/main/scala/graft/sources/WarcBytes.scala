@@ -188,6 +188,7 @@ object WarcBytes {
     private var zlibInf: Inflater = null // lazy, "deflate" wrapper only
     private var brotliFed = false // "brotli" wrapper: whole-buffer fed?
     private val chunk = new Array[Byte](65536)
+    private lazy val gzScratch = new InflateScratch // reused across members
 
     def recordAtTimeOk: Boolean = !ratFault
 
@@ -221,7 +222,7 @@ object WarcBytes {
         if (pos >= bytes.length) { parser.finish(); finished = true }
         else {
           val before = parser.recordsParsed
-          pos = inflateMember(bytes, pos, parser)
+          pos = inflateMember(bytes, pos, parser, gzScratch)
           // record-at-time contract: one record per member, boundary-aligned
           if (!(parser.atRecordBoundary && parser.recordsParsed == before + 1))
             ratFault = true
@@ -302,22 +303,39 @@ object WarcBytes {
     * trailer (the reference's start_next_segment bookkeeping,
     * compress.rs:174-196, decode.rs:733-753).
     */
-  private[sources] def inflateMember(bytes: Array[Byte], pos0: Int, parser: RecordParser): Int = {
+  /** Reusable per-task decode scratch: one native Inflater + one output
+    * buffer for a whole member LOOP. A record-at-time archive holds one
+    * gzip member per record — allocating a fresh Inflater (a native
+    * zlib stream init/free) and a 64 KiB buffer PER MEMBER cost more
+    * than the inflation itself at ~2 KiB members (150k members/archive
+    * at bench sf). `Inflater.reset()` restores a clean stream between
+    * members.
+    */
+  private[sources] final class InflateScratch {
+    val inf = new Inflater(true)
+    val buf = new Array[Byte](65536)
+  }
+
+  private[sources] def inflateMember(bytes: Array[Byte], pos0: Int,
+                                     parser: RecordParser,
+                                     scratch: InflateScratch = null): Int = {
     require(pos0 + 2 <= bytes.length &&
       bytes(pos0) == GzipMagic(0) && bytes(pos0 + 1) == GzipMagic(1),
       s"bad gzip magic at offset $pos0")
     var pos = skipGzipHeader(bytes, pos0 + 2)
-    val inf = new Inflater(true)
+    val local = scratch == null
+    val s = if (local) new InflateScratch else scratch
+    val inf = s.inf
+    inf.reset() // clean stream state even after a prior member threw
     try {
       inf.setInput(bytes, pos, bytes.length - pos)
-      val buf = new Array[Byte](65536)
       while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        if (n > 0) parser.append(buf, 0, n)
+        val n = inf.inflate(s.buf)
+        if (n > 0) parser.append(s.buf, 0, n)
         else if (inf.needsInput()) throw new EOFException(s"truncated deflate data at $pos")
       }
       pos += inf.getBytesRead.toInt
-    } finally inf.end()
+    } finally { if (local) inf.end() }
     require(pos + 8 <= bytes.length, s"truncated gzip trailer at offset $pos")
     pos + 8 // CRC32 + ISIZE
   }

@@ -179,6 +179,9 @@ object WarcSplit {
     new Iterator[WarcRecord] {
       private var abs = first
       private val pending = scala.collection.mutable.Queue.empty[WarcRecord]
+      // one Inflater + output buffer for the whole range (reset between
+      // members): per-member native init/free dominated ~2 KiB members
+      private lazy val gzScratch = new WarcBytes.InflateScratch
 
       /** Decode one member (gzip) / one frame after any skippable
         * frames (zstd) at buffer offset `rel`; appends plaintext into
@@ -221,7 +224,7 @@ object WarcSplit {
             WarcBytes.decompressZstdFrame(buf, rel, fsize.toInt, dict, parser)
             rel + fsize.toInt
           }
-        } else WarcBytes.inflateMember(buf, rel0, parser)
+        } else WarcBytes.inflateMember(buf, rel0, parser, gzScratch)
 
       private def decodeMemberAt(offset: Long): Unit = {
         var window = (bufStart + buf.length - offset).toInt
