@@ -302,6 +302,32 @@ object SparkEntry {
     }
   }
 
+  /** The dual-path agreement fold `a ⊎ (b ∖ a) ⊎ (a ∖ b)` (multiset
+    * semantics) in ONE aggregation. Literally
+    * `a.unionAll(b.exceptAll(a)).unionAll(a.exceptAll(b))` — per
+    * distinct row with multiplicity na in `a` and nb in `b` both forms
+    * emit `na + max(nb-na,0) + max(na-nb,0)` copies, so when the paths
+    * agree the result IS `a` and ANY disagreement lands extra rows in
+    * the oracle hash exactly as before. The exceptAll form planned four
+    * hash exchanges + two joins over the two (already tiny, already
+    * computed) sides — ~3 s of pure stage overhead per gate; this is
+    * one union (no shuffle) + one grouping + a sequence explode.
+    */
+  private def agreeFold(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns.toSeq
+    val tagged = a.select(cols.map(col) :+ lit(1).as("__side"): _*)
+      .unionAll(b.select(cols.map(col) :+ lit(2).as("__side"): _*))
+    val counted = tagged.groupBy(cols.map(col): _*)
+      .agg(sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__side") === 2, 1L).otherwise(0L)).as("__nb"))
+    val copies = col("__na") +
+      greatest(col("__nb") - col("__na"), lit(0L)) +
+      greatest(col("__na") - col("__nb"), lit(0L))
+    counted
+      .select(cols.map(col) :+ explode(sequence(lit(1L), copies)).as("__i"): _*)
+      .select(cols.map(col): _*)
+  }
+
   /** Robots fixture derived from the same host universe: delay
     * 250*(1+h%4) ms; hosts h%7==0 disallow the '/p/1' prefix.
     */
@@ -514,10 +540,10 @@ object SparkEntry {
       def run(robotted: DataFrame) = Politeness.schedule(robotted)
         .select(col("canonical_url"), col("host"), col("host_seq"),
           col("scheduled_ms").cast("long").as("scheduled_ms"))
-      val joined = run(Politeness.applyRobots(deduped, robots)).persist()
+      val joined = run(Politeness.applyRobots(deduped, robots))
       val mapped = run(Politeness.applyRobotsMap(deduped,
-        Politeness.robotsBroadcast(robots))).persist()
-      joined.unionAll(mapped.exceptAll(joined)).unionAll(joined.exceptAll(mapped))
+        Politeness.robotsBroadcast(robots)))
+      agreeFold(joined, mapped)
     }),
 
     // Full round under a hot-host cap, driven by the METRICS-FED hot set
@@ -539,10 +565,8 @@ object SparkEntry {
       val robots = derivedRobots(s, dir).persist() // both rounds' broadcast builds
       def sel(df: DataFrame) = df.select(col("canonical_url"), col("host"),
         col("host_seq"), col("scheduled_ms").cast("long").as("scheduled_ms"))
-      // both sides persist: the diff pattern below scans each side ~3x,
-      // and a capped round is far more expensive than its few-k-row
-      // output (ContextCleaner reclaims the cache once the gate drops
-      // its reference)
+      // agreeFold scans each side exactly once, so the rounds need no
+      // persist of their own
       // hotSpreadRows pinned to the cap so this gate keeps exercising
       // the SALTED spread leg for both hot-set sources (the auto
       // threshold would route these ~405-row hosts through the cold
@@ -550,14 +574,14 @@ object SparkEntry {
       // its own EngineSpec case and is implied by q26/q51 staying green)
       val counted = sel(Scheduler.runRound(frontier,
         Scheduler.loadSeen(s, "/tmp/none"), robots, maxPerHostPerRound = 40,
-        hotSpreadRows = 40)).persist()
+        hotSpreadRows = 40))
       val metrics = Scheduler.hotHosts(frontier, maxPerHostPerRound = 40,
         hotSpreadRows = 40)
       val fed = sel(Scheduler.runRound(frontier,
         Scheduler.loadSeen(s, "/tmp/none"), robots, maxPerHostPerRound = 40,
         hotSpreadRows = 40,
-        knownHotHosts = Some(metrics ++ Array("notinfrontier.example.test")))).persist()
-      counted.unionAll(fed.exceptAll(counted)).unionAll(counted.exceptAll(fed))
+        knownHotHosts = Some(metrics ++ Array("notinfrontier.example.test"))))
+      agreeFold(counted, fed)
     }),
 
     // FUSED SEEN round (the steady-state crawl path): frontier AND seen
@@ -594,10 +618,10 @@ object SparkEntry {
       val fused = sel(Scheduler.runRound(s.table("graft_q69_frontier"),
         Scheduler.loadSeenClustered(s, s"$base/seen", buckets = 8), robots,
         maxPerHostPerRound = 40,
-        frontierHostClustered = true, seenHostClustered = true)).persist()
+        frontierHostClustered = true, seenHostClustered = true))
       val probe = sel(Scheduler.runRound(withHost, seenDf, robots,
-        maxPerHostPerRound = 40)).persist()
-      fused.unionAll(probe.exceptAll(fused)).unionAll(fused.exceptAll(probe))
+        maxPerHostPerRound = 40))
+      agreeFold(fused, probe)
     }),
 
     // Incremental seen growth: round 1's keys are SAVED as the
@@ -638,10 +662,10 @@ object SparkEntry {
       val fused = sel(Scheduler.runRound(s.table("graft_q70_frontier"),
         Scheduler.loadSeenClustered(s, s"$base/seen", buckets = 8), robots,
         maxPerHostPerRound = 40,
-        frontierHostClustered = true, seenHostClustered = true)).persist()
+        frontierHostClustered = true, seenHostClustered = true))
       val probe = sel(Scheduler.runRound(withHost,
-        quarter(0).unionByName(quarter(1)), robots, maxPerHostPerRound = 40)).persist()
-      fused.unionAll(probe.exceptAll(fused)).unionAll(fused.exceptAll(probe))
+        quarter(0).unionByName(quarter(1)), robots, maxPerHostPerRound = 40))
+      agreeFold(fused, probe)
     }),
 
     // K-round crawl-loop ENDURANCE gate (the BASELINE.json production
@@ -1112,7 +1136,7 @@ object SparkEntry {
       def validated(sq: DataFrame) = graft.ops.MessageCbor.importValidate(
         graft.ops.MessageCbor.fromCborSeq(sq))
         .select(col("id"), col("n_messages"), col("roundtrip_ok"))
-      val canon = validated(seq).persist()
+      val canon = validated(seq)
       // FOREIGN-ENCODER injection (decoder generality, RFC 8949 §3.2):
       // every item re-encoded with indefinite-length strings/arrays/maps
       // and tagged integers — a different conforming encoder's legal
@@ -1126,8 +1150,8 @@ object SparkEntry {
         }
         out.toByteArray
       })
-      val foreign = validated(seq.withColumn("seq", foreignize(col("seq")))).persist()
-      canon.unionAll(foreign.exceptAll(canon)).unionAll(canon.exceptAll(foreign))
+      val foreign = validated(seq.withColumn("seq", foreignize(col("seq"))))
+      agreeFold(canon, foreign)
     }),
 
     // Cuckoo-filter seen set (north rule: deletable fallback to the
@@ -1293,9 +1317,9 @@ object SparkEntry {
       def run(maxBc: Long) = graft.frontier.Robots
         .applyRawRobots(withPath, bodies, "graftbot/1.0", 1000L, maxBroadcastBytes = maxBc)
         .select(col("canonical_url"), col("host"), col("crawl_delay_ms"))
-      val bcast = run(256L << 20).persist()
-      val dist = run(0L).persist()
-      bcast.unionAll(dist.exceptAll(bcast)).unionAll(bcast.exceptAll(dist))
+      val bcast = run(256L << 20)
+      val dist = run(0L)
+      agreeFold(bcast, dist)
     }),
 
     // Hot-host skew: salted two-phase per-host cap ≡ single-window top-cap

@@ -52,15 +52,19 @@ object R06Probe {
         when(pmod(col("hn"), lit(7)) === 0, array(lit("/p/1")))
           .otherwise(array().cast("array<string>")).as("disallow_prefixes"))
 
-    // ---------------- q70 phases ----------------
+    // ---------------- q70 phases (mirrors the CURRENT gate: persisted
+    // inputs + memoized quarters) ----------------
     for (pass <- 1 to 2) {
-      val robots = derivedRobots
-      val withHost = derivedFrontier.withColumn("host", Canonical.hostOf(col("url")))
-      def quarter(r: Int) = Scheduler.canonicalize(
-        ft("orders").where(pmod(col("o_orderkey"), lit(4)) === r)
-          .select(frontierUrl.as("url"),
-            pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band")))
-        .select(col("host"), col("url_key")).distinct()
+      val robots = derivedRobots.persist()
+      val withHost = derivedFrontier.withColumn("host", Canonical.hostOf(col("url"))).persist()
+      val quarter: Int => DataFrame = {
+        val memo = scala.collection.mutable.Map.empty[Int, DataFrame]
+        r => memo.getOrElseUpdate(r, Scheduler.canonicalize(
+          ft("orders").where(pmod(col("o_orderkey"), lit(4)) === r)
+            .select(frontierUrl.as("url"),
+              pmod(floor(col("o_orderkey") / 3000), lit(4)).cast("int").as("priority_band")))
+          .select(col("host"), col("url_key")).distinct().persist())
+      }
       val base = s"/tmp/graft-r06probe/q70"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       s.sql("DROP TABLE IF EXISTS graft_r06_frontier")
