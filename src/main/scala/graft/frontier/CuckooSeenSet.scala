@@ -124,8 +124,14 @@ object CuckooSeenSet {
       } else probeDistributed(candidates, keyCol, cached, numBuckets)
     val definitelyNew = probed.where(!col("maybe_seen")).drop("maybe_seen")
     val needConfirm = probed.where(col("maybe_seen")).drop("maybe_seen")
+    // size-aware confirm strategy, as in [[SeenSet.probeAndConfirm]]: a
+    // cuckoo filter stores 2 bytes per slot of capacity vs 8-byte keys,
+    // so seenBytes ≤ 4 × filterBytes — broadcast the build side under
+    // the budget, keep the shuffled anti-join past it (identical rows)
+    val confirmSeen = seenKeys.select(col(keyCol)).distinct()
     val confirmedNew = needConfirm.join(
-      seenKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      if (totalBytes * 4 <= maxBroadcastBytes) broadcast(confirmSeen) else confirmSeen,
+      Seq(keyCol), "left_anti")
     definitelyNew.unionByName(confirmedNew)
   }
 

@@ -113,8 +113,18 @@ object SeenSet {
       } else probeDistributed(candidates, keyCol, cached, numBuckets)
     val definitelyNew = probed.where(!col("maybe_seen")).drop("maybe_seen")
     val needConfirm = probed.where(col("maybe_seen")).drop("maybe_seen")
+    // SIZE-AWARE confirm join strategy (guide §3.1): the bloom bytes are
+    // a capacity-derived UPPER bound on the seen-key bytes — a filter
+    // stores ~9.6 bits per slot of capacity and the keys are 8 bytes, so
+    // seenBytes ≤ ~6.7 × bloomBytes regardless of fill. When that bound
+    // fits the broadcast budget, hint the anti-join's build side so the
+    // (already bloom-shrunk) probe side never shuffles; past it the
+    // planner keeps the shuffled anti-join — the only exact option at
+    // 10^10 keys. Pure strategy, identical rows either way.
+    val confirmSeen = seenKeys.select(col(keyCol)).distinct()
     val confirmedNew = needConfirm.join(
-      seenKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      if (totalBytes * 7 <= maxBroadcastBytes) broadcast(confirmSeen) else confirmSeen,
+      Seq(keyCol), "left_anti")
     definitelyNew.unionByName(confirmedNew)
   }
 
