@@ -173,10 +173,18 @@ object VerifyOp {
     (rid, checkFields(fs).map { case (k, d) => ProblemKD(k, d) })
   }
 
-  /** Explode to a Problem dataset (position, record_id, kind, detail). */
+  /** Explode to a Problem dataset (position, record_id, kind, detail).
+    * The UDF is marked nondeterministic (it is in fact pure — guide
+    * §4.4's pin-one-evaluation marking): InferFiltersFromGenerate
+    * otherwise derives a `size(rp._2)>0 AND isnotnull(rp._2)` filter,
+    * pushes it below the projection, and the whole rule engine runs
+    * THREE times per row — measured as the dominant cost of the
+    * records-verified/sec headline.
+    */
   def problems(records: DataFrame): DataFrame =
     records
-      .select(col("position"), checkWithIdUdf(col("fields")).as("rp"))
+      .select(col("position"),
+        checkWithIdUdf.asNondeterministic()(col("fields")).as("rp"))
       .select(col("position"), col("rp._1").as("record_id"),
         explode(col("rp._2")).as("p"))
       .select(col("position"), col("record_id"),
