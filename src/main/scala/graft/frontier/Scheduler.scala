@@ -708,8 +708,16 @@ object Scheduler {
   def saveSeenClustered(seen: DataFrame, path: String, buckets: Int = 64): Unit = {
     val spark = seen.sparkSession
     spark.sql("DROP TABLE IF EXISTS graft_seen_write")
-    seen.select(col("host"), col("url_key")).distinct()
+    // ONE exchange, not two: `.distinct().repartition(host)` shuffled
+    // every row twice (once on (host, url_key), once on host). The
+    // repartition-then-dedupe order needs only the host exchange —
+    // hashpartitioning(host) already clusters equal (host, url_key)
+    // rows, so the aggregate runs in place (and its map-side partial
+    // collapse still shrinks duplicates before the shuffle). Same rows,
+    // same bucket-aligned file layout.
+    seen.select(col("host"), col("url_key"))
       .repartition(buckets, col("host"))
+      .dropDuplicates("host", "url_key")
       .write.mode("overwrite").bucketBy(buckets, "host")
       .option("path", path).saveAsTable("graft_seen_write")
   }
@@ -760,8 +768,10 @@ object Scheduler {
         loc.exists(l => qualified(l) == qualified(path))
       }
       if (!ok) loadSeenClustered(spark, path, buckets)
-      seen.select(col("host"), col("url_key")).distinct()
+      // one exchange instead of two — see saveSeenClustered
+      seen.select(col("host"), col("url_key"))
         .repartition(buckets, col("host"))
+        .dropDuplicates("host", "url_key")
         .write.mode("append").bucketBy(buckets, "host")
         .option("path", path).saveAsTable(tbl)
     }
