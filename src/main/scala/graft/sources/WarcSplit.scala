@@ -182,6 +182,10 @@ object WarcSplit {
       // one Inflater + output buffer for the whole range (reset between
       // members): per-member native init/free dominated ~2 KiB members
       private lazy val gzScratch = new WarcBytes.InflateScratch
+      // one zstd context per range (dictionary digested once) — the
+      // static per-frame ctx create/free + dict re-digest was the same
+      // pathology for ~500 B frames
+      private lazy val zsScratch = new WarcBytes.ZstdScratch(dict)
 
       /** Decode one member (gzip) / one frame after any skippable
         * frames (zstd) at buffer offset `rel`; appends plaintext into
@@ -221,7 +225,8 @@ object WarcSplit {
             // (our encoder always does) — a per-frame ZstdInputStream's
             // native init dominated the split decode (see
             // WarcBytes.decompressZstdFrame)
-            WarcBytes.decompressZstdFrame(buf, rel, fsize.toInt, dict, parser)
+            WarcBytes.decompressZstdFrame(buf, rel, fsize.toInt, dict, parser,
+              chunk = null, scratch = zsScratch)
             rel + fsize.toInt
           }
         } else WarcBytes.inflateMember(buf, rel0, parser, gzScratch)
