@@ -756,7 +756,9 @@ object SparkEntry {
         Scheduler.loadSeen(s, ck + "-none"), robots)
       Scheduler.checkpointRound(r1, ck, 1)
       val seen = Scheduler.loadSeen(s, ck) // parquet, from disk
-      val r2 = Scheduler.runRound(derivedFrontier(s, dir), seen, robots)
+      // round 2's frontier feeds the hot-host count AND the main
+      // pipeline — persist the one derivation (guide §5)
+      val r2 = Scheduler.runRound(derivedFrontier(s, dir).persist(), seen, robots)
       r2.select(col("canonical_url"), col("host"), col("host_seq"),
         col("scheduled_ms").cast("long").as("scheduled_ms"))
     }),
