@@ -609,10 +609,20 @@ object SparkEntry {
         .select(col("host"), col("url_key")).distinct().persist()
       val base = s"/tmp/graft-q69/${new java.io.File(dir).getName}"
       s.sql("DROP TABLE IF EXISTS graft_q69_frontier")
-      withHost.repartition(8, col("host"))
-        .write.mode("overwrite").bucketBy(8, "host")
-        .option("path", s"$base/frontier").saveAsTable("graft_q69_frontier")
-      Scheduler.saveSeenClustered(seenDf, s"$base/seen", buckets = 8)
+      // the two table writes are independent — overlap them (guide §2.6)
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val fw = Future {
+          withHost.repartition(8, col("host"))
+            .write.mode("overwrite").bucketBy(8, "host")
+            .option("path", s"$base/frontier").saveAsTable("graft_q69_frontier")
+        }
+        val sw = Future { Scheduler.saveSeenClustered(seenDf, s"$base/seen", buckets = 8) }
+        Await.result(fw, Duration.Inf); Await.result(sw, Duration.Inf)
+      }
       def sel(df: DataFrame) = df.select(col("canonical_url"), col("host"),
         col("host_seq"), col("scheduled_ms").cast("long").as("scheduled_ms"))
       val fused = sel(Scheduler.runRound(s.table("graft_q69_frontier"),
@@ -652,11 +662,25 @@ object SparkEntry {
       val base = s"/tmp/graft-q70/${new java.io.File(dir).getName}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       s.sql("DROP TABLE IF EXISTS graft_q70_frontier")
-      withHost.repartition(8, col("host"))
-        .write.mode("overwrite").bucketBy(8, "host")
-        .option("path", s"$base/frontier").saveAsTable("graft_q70_frontier")
-      Scheduler.saveSeenClustered(quarter(0), s"$base/seen", buckets = 8)
-      Scheduler.appendSeenClustered(quarter(1), s"$base/seen", buckets = 8)
+      // frontier write ∥ (seen save → append): the seen writes are
+      // ordered (append needs the saved table) but independent of the
+      // frontier table — overlap the chains (guide §2.6)
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val fw = Future {
+          withHost.repartition(8, col("host"))
+            .write.mode("overwrite").bucketBy(8, "host")
+            .option("path", s"$base/frontier").saveAsTable("graft_q70_frontier")
+        }
+        val sw = Future {
+          Scheduler.saveSeenClustered(quarter(0), s"$base/seen", buckets = 8)
+          Scheduler.appendSeenClustered(quarter(1), s"$base/seen", buckets = 8)
+        }
+        Await.result(fw, Duration.Inf); Await.result(sw, Duration.Inf)
+      }
       def sel(df: DataFrame) = df.select(col("canonical_url"), col("host"),
         col("host_seq"), col("scheduled_ms").cast("long").as("scheduled_ms"))
       val fused = sel(Scheduler.runRound(s.table("graft_q70_frontier"),

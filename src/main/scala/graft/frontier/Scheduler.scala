@@ -403,7 +403,15 @@ object Scheduler {
       Politeness.fetchBatches(scheduled, perHostBudget)
         .sortWithinPartitions("priority_band", "scheduled_ms", "host_hash", "canonical_url")
 
-    if (seenKeys.isEmpty && cap > 0) {
+    // ONE seen-cardinality job instead of up to three emptiness probes —
+    // `DataFrame.isEmpty` runs a job each call, and this method used to
+    // evaluate it once per branch test. A count() costs the same single
+    // job (parquet count-star folds to row-group stats) and its value
+    // additionally sizes the probe branch's bloom capacity below.
+    val nSeen = seenKeys.count()
+    val seenEmpty = nSeen == 0L
+
+    if (seenEmpty && cap > 0) {
       // PROBE-FREE round (round 1 of a crawl — and the headline bench):
       // fully fused cold path, ONE full-frontier exchange. Hosts never
       // straddle the hot/cold split, so each leg schedules its hosts
@@ -477,7 +485,7 @@ object Scheduler {
       val coldSched = coldLegSchedule(coldExchanged, robotsStage, cap)
       finish(hotSched.fold(coldSched)(_.unionByName(coldSched)))
     } else if (frontierHostClustered && seenHostClustered && cap > 0 &&
-               !seenKeys.isEmpty) {
+               !seenEmpty) {
       // FUSED SEEN round — the steady-state crawl path at 10^10 URLs.
       // With BOTH tables stored CLUSTERED BY host (Iceberg
       // bucket(N, host); Spark bucketed parquet here) the whole round is
@@ -545,10 +553,32 @@ object Scheduler {
     } else {
       val deduped = dedupeWithinBatch(canon)
       val fresh =
-        if (seenKeys.isEmpty) deduped
+        if (seenEmpty) deduped
         else {
-          val buckets = SeenSet.buildBuckets(seenKeys, "url_key", numBloomBuckets)
-          SeenSet.probeAndConfirm(deduped, seenKeys, "url_key", buckets, numBloomBuckets)
+          // SCALE-ADAPTIVE bloom capacity (guide §2): derive the
+          // per-bucket size from the seen table's actual cardinality
+          // (one cheap count over a table the caller has usually
+          // cached/checkpointed) instead of the fixed 1M-slot default.
+          // The default built 64 × 1.2 MB bitsets (~77 MB folded,
+          // serialized, collected AND broadcast per round) for seen
+          // sets thousands of times smaller — and that inflated byte
+          // count is also what probeAndConfirm's capacity-derived
+          // confirm bound sees, pushing the exact-confirm anti-join
+          // off the broadcast path it provably fits. Oversizing by
+          // 25% keeps the fpp at-or-below the design point; an
+          // undersized bucket would only raise fpp, never break
+          // correctness (every positive is exactly confirmed). At
+          // 10^10 keys the derived capacity reproduces the big
+          // bitsets and the distributed probe path — unchanged.
+          val perBucket = math.max(1024L,
+            nSeen * 5L / (4L * numBloomBuckets) + 1L)
+          val buckets = SeenSet.buildBuckets(seenKeys, "url_key", numBloomBuckets,
+            expectedPerBucket = perBucket)
+          // capacity makes the build bytes a KNOWN quantity, so the
+          // probe can skip its size-probe aggregate job (and the
+          // persist bridging it to the collect) entirely
+          SeenSet.probeAndConfirm(deduped, seenKeys, "url_key", buckets, numBloomBuckets,
+            buildBytesHint = SeenSet.estimatedBloomBytes(perBucket, numBloomBuckets))
         }
       val robotted = robotsStage(fresh)
       val polite =
@@ -680,22 +710,39 @@ object Scheduler {
     // writes are synchronous, so it unpersists before returning.
     val cached = batches.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // The two writes are independent consumers of the cached batch, so
+      // they run CONCURRENTLY (guide §2.6: actions are only sequential
+      // because driver code calls them sequentially) — the second job's
+      // tasks back-fill executors freed by the first job's tail instead
+      // of waiting for its commit. Concurrent first-touch of the cache is
+      // safe: the block manager's per-partition locks make one job
+      // compute each partition while the other blocks on it.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
       // the STORED frontier snapshot is range-partitioned on
       // (priority_band, host_hash) — the north rule's table layout: band
       // pruning reads only the files of the bands a consumer wants, and
       // host ranges spread hot hosts across files. Compute stages keep
       // the hash(host) layout (see runRound); the range exchange happens
       // exactly once, at the write.
-      cached
-        .repartitionByRange(col("priority_band"), col("host_hash"))
-        .sortWithinPartitions("priority_band", "host_hash", "scheduled_ms", "canonical_url")
-        .write.mode("overwrite").parquet(s"$outDir/rounds/round=$round")
+      val snapshotW = Future {
+        cached
+          .repartitionByRange(col("priority_band"), col("host_hash"))
+          .sortWithinPartitions("priority_band", "host_hash", "scheduled_ms", "canonical_url")
+          .write.mode("overwrite").parquet(s"$outDir/rounds/round=$round")
+      }
       // (host, url_key) so the seen set can also be stored host-clustered
       // (saveSeenClustered) and feed the fused zero-exchange seen round;
       // url_key-only consumers (bloom build, exact confirm) just ignore
       // the extra column
-      cached.select("host", "url_key").distinct()
-        .write.mode("overwrite").parquet(s"$outDir/seen/round=$round")
+      val seenW = Future {
+        cached.select("host", "url_key").distinct()
+          .write.mode("overwrite").parquet(s"$outDir/seen/round=$round")
+      }
+      Await.result(snapshotW, Duration.Inf)
+      Await.result(seenW, Duration.Inf)
     } finally { cached.unpersist(false); () }
   }
 

@@ -42,6 +42,22 @@ object SeenSet {
 
   def bucketOf(key: Column, numBuckets: Int): Column = pmod(key, lit(numBuckets.toLong))
 
+  /** Upper bound on the serialized bytes of a [[buildBuckets]] table
+    * whose filters were created with `expectedPerBucket` capacity: the
+    * optimal-bits formula Spark's sketch uses (-n·ln p / ln²2), rounded
+    * up to 64-bit words, plus per-filter header slack. Buckets that
+    * received no keys never allocate a filter, so the true total only
+    * shrinks. Lets a sizing caller pre-decide broadcast-vs-distributed
+    * without running the build twice or probing its size.
+    */
+  def estimatedBloomBytes(expectedPerBucket: Long, numBuckets: Int,
+                          fpp: Double = 0.01): Long = {
+    val bits = math.ceil(-expectedPerBucket.toDouble * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
+    val words = bits / 64L + 1L
+    numBuckets.toLong * (words * 8L + 24L)
+  }
+
   /** Build the per-bucket bloom table: (bucket: long, bloom: binary).
     * `seen` must carry a long column `keyCol` (xxhash64 of canonical URL).
     * One hash shuffle of raw keys; each reduce partition folds its
@@ -94,23 +110,46 @@ object SeenSet {
     */
   def probeAndConfirm(candidates: DataFrame, seenKeys: DataFrame, keyCol: String,
                       buckets: DataFrame, numBuckets: Int,
-                      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+                      maxBroadcastBytes: Long = 256L << 20,
+                      buildBytesHint: Long = -1L): DataFrame = {
+    // A caller that SIZED the bucket table (see Scheduler.runRoundImpl /
+    // [[estimatedBloomBytes]]) already knows an upper bound on its
+    // serialized bytes; with the hint the table is consumed exactly once
+    // (collect or cogroup), so the size-probe aggregate job AND the
+    // persist bridging it to the collect both disappear. Without a hint
     // the bucket table is consumed twice at construction time — once by
     // the size probe, once by the broadcast collect (or the distributed
     // cogroup) — and each consumption would otherwise re-run the whole
     // build (key shuffle + bloom fold). Persist across the two (guide
     // §5: reused AND expensive to recompute); the broadcast path
-    // unpersists as soon as its collect has happened.
-    val cached = buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totalBytes = cached
-      .agg(coalesce(sum(length(col("bloom"))), lit(0L))).head.getLong(0)
-    val broadcastPath = totalBytes <= maxBroadcastBytes
-    val probed =
-      if (broadcastPath) {
-        val p = probeBroadcast(candidates, keyCol, cached, numBuckets)
-        cached.unpersist(false) // collect already ran; nothing lazy reads it
-        p
-      } else probeDistributed(candidates, keyCol, cached, numBuckets)
+    // unpersists as soon as its collect has happened. The decision is
+    // performance-only either way: both probe paths feed the same exact
+    // confirm, so an off-estimate can never change rows.
+    val (totalBytes, probed) =
+      if (buildBytesHint >= 0L) {
+        val bp =
+          if (buildBytesHint <= maxBroadcastBytes)
+            probeBroadcast(candidates, keyCol, buckets, numBuckets)
+          else
+            // the cogroup keeps the build LAZY in the result plan, so a
+            // result consumed by several actions would re-run it —
+            // persist like the probe-size path does
+            probeDistributed(candidates, keyCol,
+              buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+              numBuckets)
+        (buildBytesHint, bp)
+      } else {
+        val cached = buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bytes = cached
+          .agg(coalesce(sum(length(col("bloom"))), lit(0L))).head.getLong(0)
+        val bp =
+          if (bytes <= maxBroadcastBytes) {
+            val p = probeBroadcast(candidates, keyCol, cached, numBuckets)
+            cached.unpersist(false) // collect already ran; nothing lazy reads it
+            p
+          } else probeDistributed(candidates, keyCol, cached, numBuckets)
+        (bytes, bp)
+      }
     val definitelyNew = probed.where(!col("maybe_seen")).drop("maybe_seen")
     val needConfirm = probed.where(col("maybe_seen")).drop("maybe_seen")
     // SIZE-AWARE confirm join strategy (guide §3.1): the bloom bytes are
