@@ -749,8 +749,15 @@ object SparkEntry {
           s.read.parquet(s"$base/rounds/round=$r").select(col("host"), col("url_key")),
           s"$base/seenc", buckets = 8)
       }
-      val nFiles = Option(new java.io.File(s"$base/seenc").listFiles)
-        .getOrElse(Array.empty[java.io.File]).count(_.getName.startsWith("part-"))
+      // file bound through the Hadoop FileSystem like every other seen
+      // path (the gate fixture is local, but loadSeen/appendSeen purged
+      // java.io.File for URI-scheme safety — keep the guard consistent)
+      val nFiles = {
+        val p = new org.apache.hadoop.fs.Path(s"$base/seenc")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+        else 0
+      }
       val filesOk = nFiles > 0 && nFiles <= 8 * (K + 1)
       (0 until K).map { r =>
         s.read.parquet(s"$base/rounds/round=$r")
